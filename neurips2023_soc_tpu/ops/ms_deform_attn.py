@@ -1,0 +1,127 @@
+"""Multi-scale deformable attention — the TPU-native replacement for the
+reference's CUDA extension (reference models/ops/src/cuda/ms_deform_im2col_cuda.cuh:238,
+python oracle at models/ops/functions/ms_deform_attn_func.py:41-61).
+
+Semantics: for every (batch, query, head), sample `P` bilinear points from each
+of `L` flattened feature levels at `sampling_locations` (normalized [0,1] xy,
+zero padding outside, grid_sample align_corners=False convention) and reduce
+with softmaxed `attention_weights`.
+
+Two implementations behind one functional API, mirroring the reference's
+oracle/kernel split (SURVEY.md §7 step 2):
+
+* ``impl='xla'``  — vectorized gathers (`jnp.take_along_axis`); XLA lowers these
+  to TPU dynamic-gather. Fully differentiable via autodiff (the value gradient
+  becomes a scatter-add, handled by XLA).
+* ``impl='pallas'`` — fused Pallas kernel keeping the whole (S, M*D) value in
+  VMEM per batch element (at reference scale S*M*D is ~2-5 MB). Forward only;
+  gradients fall back to the XLA path via custom_vjp.
+
+Shapes (channels-last, head-major):
+  value:               (B, S, M, D)   S = sum(H_l*W_l)
+  spatial_shapes:      static tuple ((H_0,W_0), ..., (H_{L-1},W_{L-1}))
+  sampling_locations:  (B, Lq, M, L, P, 2)  xy in [0,1]
+  attention_weights:   (B, Lq, M, L, P)     softmax over (L,P)
+  returns:             (B, Lq, M*D)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+SpatialShapes = Tuple[Tuple[int, int], ...]
+
+
+def level_start_index(spatial_shapes: SpatialShapes) -> Tuple[int, ...]:
+    starts, cur = [], 0
+    for h, w in spatial_shapes:
+        starts.append(cur)
+        cur += h * w
+    return tuple(starts)
+
+
+def _corner_weights(x: jnp.ndarray, y: jnp.ndarray, H: int, W: int):
+    """Bilinear corner indices/weights with zero padding outside the map.
+
+    x, y are unnormalized pixel coords (grid_sample align_corners=False:
+    px = loc * size - 0.5). Returns per-corner (flat_idx, weight) with weight
+    zeroed for out-of-bounds corners.
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    corners = []
+    for dy, wy in ((0, 1.0 - fy), (1, fy)):
+        for dx, wx in ((0, 1.0 - fx), (1, fx)):
+            xi = x0i + dx
+            yi = y0i + dy
+            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+            idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+            w = (wx * wy) * valid.astype(x.dtype)
+            corners.append((idx, w))
+    return corners
+
+
+def ms_deform_attn_xla(
+    value: jnp.ndarray,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pure-XLA reference implementation (the numerical oracle)."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    starts = level_start_index(spatial_shapes)
+
+    compute_dtype = value.dtype
+    loc = sampling_locations.astype(jnp.float32)
+    attn = attention_weights.astype(compute_dtype)
+
+    # (B, M, S, D) so spatial gathers are along a single axis per head.
+    value_hm = jnp.transpose(value, (0, 2, 1, 3))
+    out = jnp.zeros((B, M, Lq, D), dtype=jnp.float32)
+    for l, (H, W) in enumerate(spatial_shapes):
+        v_l = jax.lax.dynamic_slice_in_dim(value_hm, starts[l], H * W, axis=2)
+        x = loc[:, :, :, l, :, 0] * W - 0.5  # (B, Lq, M, P)
+        y = loc[:, :, :, l, :, 1] * H - 0.5
+        a_l = attn[:, :, :, l, :]  # (B, Lq, M, P)
+        # Fold weights into a single combined weight per corner, then gather.
+        for idx, w in _corner_weights(x, y, H, W):
+            cw = (w.astype(compute_dtype) * a_l).astype(compute_dtype)
+            # (B, M, Lq*P) gather indices
+            idx_hm = jnp.transpose(idx, (0, 2, 1, 3)).reshape(B, M, Lq * P)
+            g = jnp.take_along_axis(v_l, idx_hm[..., None], axis=2)
+            g = g.reshape(B, M, Lq, P, D)
+            cw_hm = jnp.transpose(cw, (0, 2, 1, 3))  # (B, M, Lq, P)
+            out = out + jnp.einsum(
+                "bmqpd,bmqp->bmqd", g.astype(jnp.float32), cw_hm.astype(jnp.float32)
+            )
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+    return out.astype(value.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "impl"))
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if impl == "pallas":
+        from .pallas_msda import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    return ms_deform_attn_xla(
+        value, spatial_shapes, sampling_locations, attention_weights
+    )

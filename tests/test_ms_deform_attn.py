@@ -1,0 +1,95 @@
+"""Parity + gradient tests for the TPU ms_deform_attn op.
+
+The oracle is an independent torch implementation built on the public
+grid_sample semantics (bilinear, zeros padding, align_corners=False) — the
+same "fake backend" pattern the reference uses to validate its CUDA kernel
+(reference models/ops/test.py).
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from neurips2023_soc_tpu.ops import ms_deform_attn, ms_deform_attn_xla
+
+SHAPES = ((12, 16), (6, 8), (3, 4))  # L=3 levels
+B, M, D, Lq, P = 2, 4, 8, 17, 4
+L = len(SHAPES)
+S = sum(h * w for h, w in SHAPES)
+
+
+def _inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    value = rng.randn(B, S, M, D).astype(np.float32)
+    # locations mostly inside [0,1] with some outside to exercise zero-padding
+    loc = rng.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+    attn = rng.rand(B, Lq, M, L, P).astype(np.float32)
+    attn = attn / attn.reshape(B, Lq, M, -1).sum(-1)[..., None].reshape(B, Lq, M, 1, 1)
+    return value, loc, attn
+
+
+def _torch_oracle(value, loc, attn):
+    """Per-level grid_sample + weighted sum, written independently for the test."""
+    v = torch.from_numpy(value)  # (B, S, M, D)
+    locations = torch.from_numpy(loc)
+    weights = torch.from_numpy(attn)
+    out = torch.zeros(B, Lq, M, D)
+    start = 0
+    for l, (H, W) in enumerate(SHAPES):
+        v_l = v[:, start : start + H * W]  # (B, HW, M, D)
+        start += H * W
+        v_l = v_l.permute(0, 2, 3, 1).reshape(B * M, D, H, W)
+        grid = 2.0 * locations[:, :, :, l] - 1.0  # (B, Lq, M, P, 2)
+        grid = grid.permute(0, 2, 1, 3, 4).reshape(B * M, Lq, P, 2)
+        sampled = F.grid_sample(
+            v_l, grid, mode="bilinear", padding_mode="zeros", align_corners=False
+        )  # (B*M, D, Lq, P)
+        w_l = weights[:, :, :, l].permute(0, 2, 1, 3).reshape(B * M, 1, Lq, P)
+        out += (sampled * w_l).sum(-1).reshape(B, M, D, Lq).permute(0, 3, 1, 2)
+    return out.reshape(B, Lq, M * D).numpy()
+
+
+def test_forward_parity_vs_torch():
+    value, loc, attn = _inputs()
+    want = _torch_oracle(value, loc, attn)
+    got = np.asarray(ms_deform_attn(value, SHAPES, loc, attn))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_grads_finite_and_correct():
+    value, loc, attn = _inputs(seed=1)
+
+    f = jax.jit(lambda v, l, a: jnp.sum(ms_deform_attn_xla(v, SHAPES, l, a) ** 2))
+
+    grads = jax.jit(jax.grad(f, argnums=(0, 1, 2)))(value, loc, attn)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+    # numeric check on a few coordinates of each input
+    rng = np.random.RandomState(0)
+    eps = 1e-3
+    for argnum, arr in ((0, value), (1, loc), (2, attn)):
+        flat = arr.reshape(-1)
+        g_flat = np.asarray(grads[argnum]).reshape(-1)
+        for _ in range(5):
+            i = rng.randint(flat.size)
+            pert_p = flat.copy()
+            pert_p[i] += eps
+            args_p = [value, loc, attn]
+            args_p[argnum] = pert_p.reshape(arr.shape)
+            pert_m = flat.copy()
+            pert_m[i] -= eps
+            args_m = [value, loc, attn]
+            args_m[argnum] = pert_m.reshape(arr.shape)
+            fd = (float(f(*args_p)) - float(f(*args_m))) / (2 * eps)
+            np.testing.assert_allclose(g_flat[i], fd, atol=2e-2, rtol=2e-2)
+
+
+def test_jit_and_vmap_compose():
+    value, loc, attn = _inputs(seed=2)
+    f = jax.jit(lambda v, l, a: ms_deform_attn_xla(v, SHAPES, l, a))
+    out = f(value, loc, attn)
+    assert out.shape == (B, Lq, M * D)
+    assert np.all(np.isfinite(np.asarray(out)))
