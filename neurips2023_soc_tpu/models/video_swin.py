@@ -1,0 +1,291 @@
+"""Video Swin Transformer backbone, TPU-native flax implementation.
+
+Behavioral twin of the reference (models/video_swin_transformer.py:19-808):
+patch size (1,4,4) (no temporal downsampling -> per-frame features), window
+(8,7,7) 3D shifted windows, 4 stages with PatchMerging between (applied
+*after* collecting each stage's output, so all 4 stride-4/8/16/32 maps are
+emitted). Window partition/rolls are pure reshapes/`jnp.roll` (XLA handles
+these as layout ops); the shifted-window attention mask is a numpy constant
+computed at trace time per static (T, H, W) bucket — the analog of the
+reference's lru_cached `compute_mask` (models/video_swin_transformer.py:316).
+
+Layout: channels-last throughout. Input (B, T, H, W, 3); outputs a list of 4
+per-frame maps [(B*T, H/4, W/4, C), ..., (B*T, H/32, W/32, 8C)].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Window = Tuple[int, int, int]
+
+
+@functools.lru_cache(maxsize=64)
+def _np_attn_mask(Dp: int, Hp: int, Wp: int, window: Window, shift: Window):
+    """(nW, N, N) additive mask for shifted windows (0 / -100)."""
+    img = np.zeros((Dp, Hp, Wp), np.int32)
+    cnt = 0
+    for d in (slice(-window[0]), slice(-window[0], -shift[0]), slice(-shift[0], None)):
+        for h in (slice(-window[1]), slice(-window[1], -shift[1]), slice(-shift[1], None)):
+            for w in (slice(-window[2]), slice(-window[2], -shift[2]), slice(-shift[2], None)):
+                img[d, h, w] = cnt
+                cnt += 1
+    wd, wh, ww = window
+    win = img.reshape(Dp // wd, wd, Hp // wh, wh, Wp // ww, ww)
+    win = win.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _np_rel_pos_index(window: Window) -> np.ndarray:
+    """(N, N) index into the relative position bias table."""
+    wd, wh, ww = window
+    coords = np.stack(
+        np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(3, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wd - 1
+    rel[:, :, 1] += wh - 1
+    rel[:, :, 2] += ww - 1
+    rel[:, :, 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[:, :, 1] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+def _effective_window(size: Tuple[int, int, int], window: Window, shift: Window):
+    """Clamp window to the input size; zero the shift where clamped
+    (reference models/video_swin_transformer.py:71-84)."""
+    win, sh = list(window), list(shift)
+    for i in range(3):
+        if size[i] <= window[i]:
+            win[i] = size[i]
+            sh[i] = 0
+    return tuple(win), tuple(sh)
+
+
+class WindowAttention3D(nn.Module):
+    dim: int
+    window: Window  # full configured window (bias table size)
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, eff_window: Window,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x: (B_, N, C) windows; mask: (nW, N, N) additive or None."""
+        B_, N, C = x.shape
+        H = self.num_heads
+        Dh = C // H
+        table_len = (
+            (2 * self.window[0] - 1)
+            * (2 * self.window[1] - 1)
+            * (2 * self.window[2] - 1)
+        )
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            (table_len, H),
+            jnp.float32,
+        )
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, H, N, Dh)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (Dh ** -0.5), k)
+
+        # relative position bias; when the window is clamped the reference
+        # indexes the full-window table with index[:N, :N] — same here.
+        idx = _np_rel_pos_index(self.window)[:N, :N]
+        bias = bias_table[idx.reshape(-1)].reshape(N, N, H)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(
+                attn.dtype
+            )
+            attn = attn.reshape(B_, H, N, N)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock3D(nn.Module):
+    dim: int
+    num_heads: int
+    window: Window
+    shift: Window
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """x: (B, D, H, W, C)."""
+        B, D, H, W, C = x.shape
+        window, shift = _effective_window((D, H, W), self.window, self.shift)
+
+        shortcut = x
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        pad_d = (-D) % window[0]
+        pad_h = (-H) % window[1]
+        pad_w = (-W) % window[2]
+        x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+        Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
+
+        if any(s > 0 for s in shift):
+            x = jnp.roll(x, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+            mask = jnp.asarray(_np_attn_mask(Dp, Hp, Wp, window, shift))
+        else:
+            mask = None
+
+        wd, wh, ww = window
+        nwd, nwh, nww = Dp // wd, Hp // wh, Wp // ww
+        xw = x.reshape(B, nwd, wd, nwh, wh, nww, ww, C)
+        xw = xw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, wd * wh * ww, C)
+
+        xw = WindowAttention3D(
+            self.dim, self.window, self.num_heads, self.qkv_bias,
+            dtype=self.dtype, name="attn",
+        )(xw, window, mask)
+
+        x = xw.reshape(B, nwd, nwh, nww, wd, wh, ww, C)
+        x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, Dp, Hp, Wp, C)
+        if any(s > 0 for s in shift):
+            x = jnp.roll(x, (shift[0], shift[1], shift[2]), axis=(1, 2, 3))
+        x = x[:, :D, :H, :W]
+
+        x = shortcut + self._drop_path(x, deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + self._drop_path(h, deterministic)
+
+    def _drop_path(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.drop_path == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, D, H, W, C) -> (B, D, H/2, W/2, 2C)."""
+        B, D, H, W, C = x.shape
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, :, 0::2, 0::2]
+        x1 = x[:, :, 1::2, 0::2]
+        x2 = x[:, :, 0::2, 1::2]
+        x3 = x[:, :, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], -1)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
+
+
+class VideoSwinBackbone(nn.Module):
+    """4-stage Video Swin emitting all four per-frame feature levels."""
+
+    patch_size: Window = (1, 4, 4)
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window: Window = (8, 7, 7)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.2
+    patch_norm: bool = True
+    use_remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video: jnp.ndarray, deterministic: bool = True):
+        """video: (B, T, H, W, 3) -> list of 4 maps (B*T, Hi, Wi, Ci)."""
+        B, T, H, W, _ = video.shape
+        pd, ph, pw = self.patch_size
+        video = jnp.pad(
+            video,
+            ((0, 0), (0, (-T) % pd), (0, (-H) % ph), (0, (-W) % pw), (0, 0)),
+        )
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=self.patch_size,
+            strides=self.patch_size,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(video)  # (B, T, H/4, W/4, C)
+        if self.patch_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
+        outs = []
+        block_idx = 0
+        dim = self.embed_dim
+        # jax.checkpoint over each block trades FLOPs for HBM when training
+        # (the reference's use_checkpoint flag, video_swin_transformer.py:263).
+        block_cls = (
+            nn.remat(SwinBlock3D, static_argnums=(2,)) if self.use_remat
+            else SwinBlock3D
+        )
+        for stage, depth in enumerate(self.depths):
+            shift = tuple(w // 2 for w in self.window)
+            for i in range(depth):
+                x = block_cls(
+                    dim=dim,
+                    num_heads=self.num_heads[stage],
+                    window=self.window,
+                    shift=(0, 0, 0) if i % 2 == 0 else shift,
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    drop_path=float(dpr[block_idx]),
+                    dtype=self.dtype,
+                    name=f"layers_{stage}_blocks_{i}",
+                )(x, deterministic)
+                block_idx += 1
+            # collect the pre-downsample output of this stage, per frame
+            Bc, Tc, Hc, Wc, Cc = x.shape
+            outs.append(x.reshape(Bc * Tc, Hc, Wc, Cc))
+            if stage < len(self.depths) - 1:
+                x = PatchMerging(dim, dtype=self.dtype,
+                                 name=f"layers_{stage}_downsample")(x)
+                dim *= 2
+        return outs
+
+
+SWIN_CONFIGS = {
+    "video-swin-t": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    "video-swin-s": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "video-swin-b": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+}
+
+
+def build_video_swin(name: str, use_remat: bool = False,
+                     dtype: jnp.dtype = jnp.float32) -> VideoSwinBackbone:
+    cfg = SWIN_CONFIGS[name]
+    return VideoSwinBackbone(
+        patch_size=(1, 4, 4),
+        window=(8, 7, 7),
+        drop_path_rate=0.2,
+        patch_norm=True,
+        use_remat=use_remat,
+        dtype=dtype,
+        **cfg,
+    )

@@ -1,0 +1,7 @@
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    time_sharding,
+)

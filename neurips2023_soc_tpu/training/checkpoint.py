@@ -1,0 +1,84 @@
+"""Orbax checkpointing with the reference's retention policy
+(trainer.py:363-422): keep at most `max_keep` epoch checkpoints plus a `best`
+pointer chosen by mAP (A2D) or lowest train loss (Ref-YTVOS). Also loads
+torch `.pth.tar` checkpoints through training.convert for the model zoo.
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path, max_keep: int = 5):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.max_keep = max_keep
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, epoch: int) -> Path:
+        return self.dir / f"epoch_{epoch:04d}"
+
+    def save(self, epoch: int, state: Dict[str, Any], is_best: bool,
+             extra: Optional[Dict[str, Any]] = None):
+        path = self._path(epoch)
+        self._ckptr.save(path.absolute(), state, force=True)
+        self._ckptr.wait_until_finished()
+        meta = {"epoch": epoch, **(extra or {})}
+        (path / "meta.json").write_text(json.dumps(meta))
+        if is_best:
+            (self.dir / "best.json").write_text(json.dumps(meta))
+        self._prune(best_epoch=self.best_epoch())
+
+    def best_epoch(self) -> Optional[int]:
+        bj = self.dir / "best.json"
+        if bj.exists():
+            return json.loads(bj.read_text()).get("epoch")
+        return None
+
+    def _prune(self, best_epoch: Optional[int]):
+        ckpts = sorted(self.dir.glob("epoch_*"))
+        removable = [c for c in ckpts
+                     if best_epoch is None or c.name != f"epoch_{best_epoch:04d}"]
+        while len(ckpts) > self.max_keep and removable:
+            victim = removable.pop(0)
+            ckpts.remove(victim)
+            import shutil
+
+            shutil.rmtree(victim)
+
+    def latest_epoch(self) -> Optional[int]:
+        ckpts = sorted(self.dir.glob("epoch_*"))
+        if not ckpts:
+            return None
+        return int(ckpts[-1].name.split("_")[1])
+
+    def restore(self, epoch: int, target: Dict[str, Any]) -> Dict[str, Any]:
+        return self._ckptr.restore(self._path(epoch).absolute(), target=target)
+
+
+def load_torch_checkpoint(path: str):
+    """Read a torch .pth.tar into a numpy state_dict (CPU torch only)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt.get("state_dict", ckpt))
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def load_pretrained_into_params(path: str, params, drop_class_embed: bool = False):
+    """Torch zoo checkpoint -> flax params (with optional class-head surgery,
+    reference trainer.py:430-438)."""
+    from .convert import convert_torch_state_dict
+
+    sd = load_torch_checkpoint(path)
+    if drop_class_embed:
+        sd = {k: v for k, v in sd.items() if not k.startswith("class_embed")}
+    return convert_torch_state_dict(sd, params)

@@ -1,0 +1,88 @@
+"""Jitted train/eval steps over a device mesh.
+
+The reference's DDP + AMP + GradScaler loop (trainer.py:175-197) becomes one
+jitted function: forward -> criterion (on-device matching) -> grad -> clipped
+AdamW update. Data parallelism comes from sharding the batch over the mesh's
+`data` axis with replicated params; XLA inserts the gradient all-reduce.
+bf16 compute needs no loss scaling on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ..losses import CriterionConfig, compute_criterion, total_loss
+
+TARGET_KEYS = (
+    "masks", "boxes", "labels", "inst_valid", "is_ref_inst_visible",
+    "referred_instance_idx",
+)
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_train_step(model, crit_cfg: CriterionConfig, has_valid_indices: bool = False):
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng):
+        def loss_fn(params):
+            out = model.apply(
+                params,
+                batch["pixels"],
+                batch["pad_mask"],
+                batch["text_ids"],
+                batch["text_mask"],
+                sample_sizes=batch.get("sample_sizes"),
+                valid_indices=batch.get("valid_indices") if has_valid_indices else None,
+                training=True,
+                rngs={"dropout": rng},
+            )
+            targets = {k: batch[k] for k in TARGET_KEYS}
+            losses = compute_criterion(out, targets, crit_cfg)
+            return total_loss(losses, crit_cfg), losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, **losses}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_forward_fn(model):
+    """Inference forward: returns the full stacked-output dict."""
+
+    def forward(params, batch):
+        return model.apply(
+            params,
+            batch["pixels"],
+            batch["pad_mask"],
+            batch["text_ids"],
+            batch["text_mask"],
+            sample_sizes=batch.get("sample_sizes"),
+            valid_indices=batch.get("valid_indices"),
+            training=False,
+        )
+
+    return forward
+
+
+def create_train_state(model, tx, sample_batch, rng) -> TrainState:
+    params = model.init(
+        rng,
+        sample_batch["pixels"],
+        sample_batch["pad_mask"],
+        sample_batch["text_ids"],
+        sample_batch["text_mask"],
+    )
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
