@@ -68,12 +68,18 @@ def collate_batch(
     sample_sizes = np.zeros((B, 2), np.float32)
     batch: Dict[str, np.ndarray] = {}
 
+    # A2D-style datasets annotate only the center frame: the model gathers
+    # that frame via valid_indices and the targets' time axis collapses to the
+    # annotated frames only (reference trainer.py:157-168).
+    has_valid_idx = any("valid_frame_idx" in s for s in samples)
+
     if with_targets:
-        masks = np.zeros((T, B, N, H, W), np.float32)
-        boxes = np.zeros((T, B, N, 4), np.float32)
+        Tt = max(s["masks"].shape[0] for s in samples) if has_valid_idx else T
+        masks = np.zeros((Tt, B, N, H, W), np.float32)
+        boxes = np.zeros((Tt, B, N, 4), np.float32)
         labels = np.zeros((B, N), np.int32)
         inst_valid = np.zeros((B, N), bool)
-        visible = np.zeros((T, B, N), bool)
+        visible = np.zeros((Tt, B, N), bool)
         ref_idx = np.zeros((B,), np.int32)
 
     for b, s in enumerate(samples):
@@ -88,7 +94,8 @@ def collate_batch(
         sample_sizes[b] = (h, w)
         if with_targets:
             n = min(s["masks"].shape[1], N)
-            masks[:t, b, :n, :h, :w] = s["masks"][:, :n]
+            tt = s["masks"].shape[0]
+            masks[:tt, b, :n, :h, :w] = s["masks"][:, :n]
             # boxes normalized cxcywh relative to the *padded* (H, W), like
             # the reference's Normalize transform relative to padded samples?
             # No — the reference normalizes by the *resized* sample size
@@ -98,10 +105,10 @@ def collate_batch(
             cy = (bx[..., 1] + bx[..., 3]) / 2 / h
             bw = (bx[..., 2] - bx[..., 0]) / w
             bh = (bx[..., 3] - bx[..., 1]) / h
-            boxes[:t, b, :n] = np.stack([cx, cy, bw, bh], -1)
+            boxes[:tt, b, :n] = np.stack([cx, cy, bw, bh], -1)
             labels[b, :n] = s.get("labels", np.zeros(n))[:n]
             inst_valid[b, :n] = True
-            visible[:t, b, :n] = s["is_visible"][:, :n]
+            visible[:tt, b, :n] = s["is_visible"][:, :n]
             ref_idx[b] = s.get("referred_instance_idx", 0)
 
     text_ids, text_mask = tokenizer([s["text"] for s in samples])

@@ -1,0 +1,88 @@
+"""Dataset loaders tested against synthetic on-disk fixture trees."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from neurips2023_soc_tpu.data.refer_youtube_vos import ReferYouTubeVOSDataset
+from neurips2023_soc_tpu.data.transforms import size_with_aspect_ratio
+
+
+@pytest.fixture(scope="module")
+def ytvos_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ytvos")
+    frames = [f"{i:05d}" for i in range(0, 10)]
+    for subset in ["train"]:
+        for vid in ["vid_a", "vid_b"]:
+            (root / subset / "JPEGImages" / vid).mkdir(parents=True)
+            (root / subset / "Annotations" / vid).mkdir(parents=True)
+            for t, fi in enumerate(frames):
+                img = (np.random.RandomState(t).rand(64, 96, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(root / subset / "JPEGImages" / vid / f"{fi}.jpg")
+                ann = np.zeros((64, 96), np.uint8)
+                # obj 1 visible in all frames; obj 2 only in the first window
+                ann[10:30, 10:30] = 1
+                if t < 4:
+                    ann[40:60, 60:80] = 2
+                pal = Image.fromarray(ann).convert("P")
+                pal.save(root / subset / "Annotations" / vid / f"{fi}.png")
+    meta_exp = {"videos": {
+        vid: {
+            "frames": frames,
+            "expressions": {
+                "0": {"exp": "the red thing on the Left", "obj_id": "1"},
+                "1": {"exp": "a vanishing object", "obj_id": "2"},
+            },
+        } for vid in ["vid_a", "vid_b"]
+    }}
+    (root / "meta_expressions" / "train").mkdir(parents=True)
+    (root / "meta_expressions" / "train" / "meta_expressions.json").write_text(
+        json.dumps(meta_exp))
+    meta = {"videos": {vid: {"objects": {"1": {"category": "dog"},
+                                         "2": {"category": "cat"}}}
+                       for vid in ["vid_a", "vid_b"]}}
+    (root / "train" / "meta.json").write_text(json.dumps(meta))
+    return root
+
+
+def test_ytvos_train_windows_and_visibility(ytvos_root):
+    ds = ReferYouTubeVOSDataset(
+        "train", str(ytvos_root), window_size=4, check_counts=False,
+        transforms_kwargs=dict(horizontal_flip_augmentations=False,
+                               train_short_size=48, train_max_size=80),
+    )
+    # 10 frames -> windows [0:4], [4:8], [6:10]; obj 1 in all 3, obj 2 only in
+    # the first -> per video: 3 + 1 = 4 samples
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["frames"].shape[0] == 4
+    assert s["masks"].shape[1] == 1 and s["boxes"].shape[1] == 1
+    assert s["masks"].shape[2:] == s["frames"].shape[1:3]
+    assert s["labels"][0] == 13  # dog
+    assert s["is_visible"].all()
+    # obj-2 samples: only first window kept
+    texts = [ds[i]["text"] for i in range(len(ds))]
+    assert sum("vanishing" in t for t in texts) == 2  # one window per video
+
+
+def test_ytvos_boxes_track_resize(ytvos_root):
+    ds = ReferYouTubeVOSDataset(
+        "train", str(ytvos_root), window_size=4, check_counts=False,
+        transforms_kwargs=dict(horizontal_flip_augmentations=False,
+                               train_short_size=32, train_max_size=48),
+    )
+    s = ds[0]
+    h, w = s["frames"].shape[1:3]
+    assert (h, w) == (32, 48)
+    b = s["boxes"][0, 0]
+    m = s["masks"][0, 0]
+    ys, xs = np.nonzero(m)
+    assert abs(b[0] - xs.min()) <= 1 and abs(b[2] - xs.max()) <= 1
+
+
+def test_size_with_aspect_ratio_max_cap():
+    assert size_with_aspect_ratio(720, 1280, 360, 640) == (360, 640)
+    oh, ow = size_with_aspect_ratio(480, 1280, 360, 640)
+    assert ow == 640 and oh == round(480 * 640 / 1280)
