@@ -44,12 +44,6 @@ def main():
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), pixels, pad, ids, msk)
 
-    # the axon runtime memoizes identical executions, so benchmark over
-    # distinct device-resident inputs (generated on device, no host transfer)
-    gen = jax.jit(
-        lambda s: jax.random.normal(jax.random.PRNGKey(s), (T, 1, H, W, 3))
-    )
-
     @jax.jit
     def forward(params, pixels, pad, ids, msk):
         out = model.apply(params, pixels, pad, ids, msk)
@@ -60,21 +54,23 @@ def main():
         sel = jnp.take_along_axis(
             masks, best[None, :, None, None, None], axis=2
         )[:, :, 0]
-        return sel  # (T, B, h, w) mask logits for the chosen trajectory
+        # scalar checksum: fetching it each iteration forces real execution —
+        # the axon runtime memoizes identical executions and block_until_ready
+        # does not imply completion, so naive timing over-reports wildly
+        return sel.astype(jnp.float32).mean()
 
     iters = int(os.environ.get("BENCH_ITERS", 10))
     pad_d = jax.device_put(pad)
     ids_d = jax.device_put(ids)
     msk_d = jax.device_put(msk)
-    inputs = [gen(i) for i in range(iters + 1)]
-    jax.block_until_ready(inputs)
+    px_d = jax.device_put(pixels)
 
-    out = forward(params, inputs[-1], pad_d, ids_d, msk_d)
-    out.block_until_ready()
+    float(forward(params, px_d, pad_d, ids_d, msk_d))  # compile + warm
 
     t0 = time.perf_counter()
-    outs = [forward(params, inputs[i], pad_d, ids_d, msk_d) for i in range(iters)]
-    jax.block_until_ready(outs)
+    for i in range(iters):
+        # fresh input per iteration (cheap on-device add) defeats memoization
+        float(forward(params, px_d + np.float32(i + 1), pad_d, ids_d, msk_d))
     dt = time.perf_counter() - t0
     fps = T * iters / dt
 

@@ -1,0 +1,76 @@
+"""Local DAVIS J&F evaluation over saved palette PNGs
+(reference eval_davis.py + davis2017/): reads Annotations GT + result PNGs,
+runs the unsupervised protocol per annotator, prints/saves global tables."""
+from __future__ import annotations
+
+import argparse
+import csv
+import time
+from glob import glob
+from os import path
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from ..evaluation.davis import evaluate_sequences
+
+
+def _load_index_masks(d: str, frame_names) -> np.ndarray:
+    masks = [np.array(Image.open(path.join(d, f"{n}.png"))) for n in frame_names]
+    return np.stack(masks)
+
+
+def _split_objects(index_masks: np.ndarray) -> np.ndarray:
+    ids = sorted(set(np.unique(index_masks)) - {0})
+    if not ids:
+        return np.zeros((1,) + index_masks.shape, np.uint8)
+    return np.stack([(index_masks == i).astype(np.uint8) for i in ids])
+
+
+def main():
+    parser = argparse.ArgumentParser("DAVIS 2017 local J&F evaluation")
+    parser.add_argument("--davis_path", required=True,
+                        help="DAVIS root with Annotations_unsupervised/480p")
+    parser.add_argument("--results_path", required=True,
+                        help="dir with anno_{0..3}/<video>/<frame>.png")
+    parser.add_argument("--set", default="val")
+    args = parser.parse_args()
+
+    gt_dir = path.join(args.davis_path, "Annotations_unsupervised", "480p")
+    seq_file = path.join(args.davis_path, "ImageSets", "2017", f"{args.set}.txt")
+    with open(seq_file) as f:
+        sequences = f.read().splitlines()
+
+    t0 = time.time()
+    global_rows = []
+    for anno_id in range(4):
+        seqs = {}
+        for seq in sequences:
+            frames = sorted(
+                path.splitext(path.basename(p))[0]
+                for p in glob(path.join(gt_dir, seq, "*.png"))
+            )
+            gt = _split_objects(_load_index_masks(path.join(gt_dir, seq), frames))
+            res_dir = path.join(args.results_path, f"anno_{anno_id}", seq)
+            res = _split_objects(_load_index_masks(res_dir, frames))
+            seqs[seq] = (gt, res)
+        out = evaluate_sequences(seqs, task="unsupervised")["global"]
+        print(f"anno_{anno_id}: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+        global_rows.append({"annotator": anno_id, **out})
+
+    mean = {k: float(np.mean([r[k] for r in global_rows]))
+            for k in global_rows[0] if k != "annotator"}
+    print("mean over annotators: " +
+          " ".join(f"{k}={v:.4f}" for k, v in mean.items()))
+    out_csv = Path(args.results_path) / "global_results.csv"
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(global_rows[0].keys()))
+        w.writeheader()
+        w.writerows(global_rows)
+        w.writerow({"annotator": "mean", **mean})
+    print(f"total time: {time.time() - t0:.1f}s; wrote {out_csv}")
+
+
+if __name__ == "__main__":
+    main()

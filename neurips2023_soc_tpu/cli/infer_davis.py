@@ -1,0 +1,79 @@
+"""Ref-DAVIS-17 inference (reference infer_davis.py): expressions grouped 4
+per annotator; per-object probability masks merged by argmax with a 0.1
+background channel; palette PNGs per annotator."""
+from __future__ import annotations
+
+import argparse
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+from ..config import add_config_args, config_from_args
+from ..data.davis import ReferDAVISDataset
+from ..inference import (
+    InferenceEngine,
+    merge_davis_annotator,
+    save_davis_annotator_masks,
+    shard_videos,
+)
+from ..models import build_model
+from .infer_refytb import load_params
+
+
+def main():
+    parser = add_config_args(argparse.ArgumentParser("Ref-DAVIS inference"))
+    args = parser.parse_args()
+    config = config_from_args(args)
+
+    dataset = ReferDAVISDataset(
+        "valid", config.img_folder,
+        transforms_kwargs=dict(eval_short_size=config.eval_short_size,
+                               eval_max_size=config.eval_max_size),
+    )
+    model = build_model(config)
+    sample = (
+        np.zeros((8, 1, 360, 640, 3), np.float32),
+        np.zeros((8, 1, 360, 640), bool),
+        np.ones((1, config.get("text_bucket", 32)), np.int32),
+        np.ones((1, config.get("text_bucket", 32)), np.int32),
+    )
+    params = load_params(config, model, sample)
+    engine = InferenceEngine(
+        model, params, text_encoder_type=config.text_encoder_type,
+        text_bucket=config.get("text_bucket", 32),
+    )
+    out_root = Path(config.get("output_dir") or "outputs/davis_valid")
+
+    # group expressions by video; 4 annotators x num_obj expressions each
+    by_video = defaultdict(list)
+    for i in range(len(dataset)):
+        meta = dataset.samples_list[i]
+        by_video[meta[0]].append(i)
+
+    t0 = time.time()
+    for video_id, idxs in by_video.items():
+        idxs = sorted(idxs, key=lambda i: int(dataset.samples_list[i][2]["exp_id"]))
+        num_obj = len(idxs) // 4
+        for anno_id in range(4):
+            prob_masks, frame_names = [], None
+            for obj in range(num_obj):
+                s = dataset[idxs[anno_id * num_obj + obj]]
+                meta = s["video_metadata"]
+                frame_names = meta["frame_indices"]
+                probs = engine.infer_video(
+                    s["frames"], s["text"],
+                    original_size=meta["original_frame_size"],
+                    return_probs=True,
+                )
+                prob_masks.append(probs)
+            merged = merge_davis_annotator(prob_masks)
+            save_davis_annotator_masks(
+                merged, str(out_root / f"anno_{anno_id}" / video_id), frame_names
+            )
+        print(f"{video_id}: done ({time.time() - t0:.1f}s elapsed)")
+
+
+if __name__ == "__main__":
+    main()

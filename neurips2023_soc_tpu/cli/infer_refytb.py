@@ -1,0 +1,71 @@
+"""Ref-YouTube-VOS valid-set inference + submission zip
+(reference infer_refytb.py).
+
+    python -m neurips2023_soc_tpu.cli.infer_refytb -c configs/refer_youtube_vos.yaml \
+        -ckpt <orbax dir or torch .pth.tar> --output_dir outputs/ytvos_valid
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from ..config import add_config_args, config_from_args
+from ..data.refer_youtube_vos import ReferYouTubeVOSDataset
+from ..evaluators import evaluate_refer_youtube_vos
+from ..inference import InferenceEngine, shard_videos
+from ..models import build_model
+
+
+def load_params(config, model, sample_args):
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *sample_args)
+    ckpt = config.get("checkpoint_path")
+    if ckpt:
+        if str(ckpt).endswith((".pth", ".pth.tar", ".pt")):
+            from ..training.checkpoint import load_pretrained_into_params
+
+            params, report = load_pretrained_into_params(ckpt, params)
+            print(f"loaded torch ckpt: {len(report['missing'])} missing, "
+                  f"{len(report['unused'])} unused keys")
+        else:
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(ckpt)
+            params = restored["params"] if "params" in restored else restored
+    return params
+
+
+def main():
+    parser = add_config_args(argparse.ArgumentParser("Ref-YTVOS inference"))
+    args = parser.parse_args()
+    config = config_from_args(args)
+
+    dataset = ReferYouTubeVOSDataset(
+        "test", config.img_folder,
+        transforms_kwargs=dict(eval_short_size=config.eval_short_size,
+                               eval_max_size=config.eval_max_size),
+    )
+    model = build_model(config)
+    s0 = dataset[0]
+    T0 = min(8, s0["frames"].shape[0])
+    sample = (
+        np.zeros((T0, 1, 360, 640, 3), np.float32),
+        np.zeros((T0, 1, 360, 640), bool),
+        np.ones((1, config.get("text_bucket", 32)), np.int32),
+        np.ones((1, config.get("text_bucket", 32)), np.int32),
+    )
+    params = load_params(config, model, sample)
+    engine = InferenceEngine(
+        model, params, text_encoder_type=config.text_encoder_type,
+        text_bucket=config.get("text_bucket", 32),
+    )
+    out_dir = config.get("output_dir") or "outputs/ytvos_valid"
+    t0 = time.time()
+    result = evaluate_refer_youtube_vos(engine, dataset, out_dir)
+    print(f"done in {time.time() - t0:.1f}s -> {result}")
+
+
+if __name__ == "__main__":
+    main()

@@ -127,4 +127,12 @@ def collate_batch(
         batch["valid_indices"] = np.array(
             [s.get("valid_frame_idx", 0) for s in samples], np.int32
         )
+    # host-side metadata for evaluation postprocessing (not device arrays)
+    batch["resized_sizes"] = [tuple(s["frames"].shape[1:3]) for s in samples]
+    if all("image_id" in s for s in samples):
+        batch["image_ids"] = [s["image_id"] for s in samples]
+    if all("orig_size" in s for s in samples):
+        batch["orig_sizes"] = [tuple(s["orig_size"]) for s in samples]
+    if all("video_metadata" in s for s in samples):
+        batch["videos_metadata"] = [s["video_metadata"] for s in samples]
     return batch

@@ -1,0 +1,88 @@
+"""Per-dataset evaluation drivers gluing forward -> postprocess -> metrics
+(reference trainer.py:252-354).
+
+A2D/JHMDB: COCO-protocol mask mAP + P@K/IoU over center-frame predictions.
+Ref-YTVOS: whole-video masks -> PNG tree -> submission zip (no public GT).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from .evaluation.coco_eval import evaluate_coco_map, precision_at_k_and_iou
+from .evaluation.rle import encode as rle_encode
+from .models.postprocessing import a2d_postprocess
+
+
+def build_a2d_gt_annotations(dataset) -> List[Dict]:
+    """COCO-format GT from the dataset's center-frame masks (reference
+    datasets/a2d_sentences/create_gt_in_coco_format.py)."""
+    gts = []
+    for i in range(len(dataset)):
+        s = dataset[i]
+        mask = s["masks"][0, 0].astype(np.uint8)
+        gts.append({
+            "image_id": s["image_id"],
+            "segmentation": rle_encode(mask),
+            "iscrowd": 0,
+            "area": int(mask.sum()),
+        })
+    return gts
+
+
+def evaluate_a2d_batches(
+    forward: Callable,
+    params,
+    batches: Iterable[Dict],
+    gt_annotations: List[Dict],
+    calculate_pr: bool = True,
+) -> Dict[str, float]:
+    """batches must carry 'image_ids', 'resized_sizes', 'orig_sizes' metadata
+    alongside the standard model inputs."""
+    dt_annotations = []
+    for batch in batches:
+        outputs = forward(params, batch)
+        preds = a2d_postprocess(
+            outputs,
+            batch["pixels"].shape[2:4],
+            batch["resized_sizes"],
+            batch["orig_sizes"],
+        )
+        for image_id, p in zip(batch["image_ids"], preds):
+            scores = np.asarray(p["scores"])
+            for q in range(len(scores)):
+                dt_annotations.append({
+                    "image_id": image_id,
+                    "segmentation": p["rle_masks"][q],
+                    "score": float(scores[q]),
+                })
+    metrics = evaluate_coco_map(gt_annotations, dt_annotations)
+    if calculate_pr:
+        metrics.update(precision_at_k_and_iou(gt_annotations, dt_annotations))
+    return metrics
+
+
+def evaluate_refer_youtube_vos(
+    engine,
+    dataset,
+    output_dir: str,
+    make_zip: bool = True,
+) -> Dict[str, str]:
+    """Run whole-video inference over the valid split and write the
+    competition submission (reference trainer.py:315-354)."""
+    from .inference import save_ytvos_predictions, zip_submission
+
+    preds = []
+    for i in range(len(dataset)):
+        s = dataset[i]
+        meta = s["video_metadata"]
+        masks = engine.infer_video(
+            s["frames"], s["text"], original_size=meta["original_frame_size"]
+        )
+        preds.append({**meta, "pred_masks": masks})
+    save_ytvos_predictions(preds, output_dir)
+    out = {"predictions_dir": output_dir}
+    if make_zip:
+        out["submission_zip"] = zip_submission(output_dir)
+    return out

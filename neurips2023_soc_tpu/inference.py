@@ -1,0 +1,177 @@
+"""Whole-video referring inference engine (reference infer_refytb.py /
+infer_davis.py, TPU-native).
+
+Design: one jitted clip program per (T_bucket, H, W) shape — normalize/pad,
+model forward, trajectory selection and mask scoring all fused in-graph; only
+PNG/zip encoding runs on the host. Videos longer than the largest time bucket
+are processed in chunks with per-chunk trajectory selection (the reference's
+DAVIS path, infer_davis.py:213-257 — its 36-frame limit came from the CUDA
+im2col_step, ours is an HBM/bucketing choice).
+
+Multi-host scaling: shard the video list across processes (jax.process_index)
+exactly like the reference's one-process-per-GPU split (infer_refytb.py:84-109).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import zipfile
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.collate import normalize_frames
+from .models.text_encoder import build_tokenizer
+from .ops import resize_bilinear
+from .utils.padded import pick_size_bucket, pick_time_bucket
+
+# DAVIS palette (indices 0..N map through the standard DAVIS colormap)
+DAVIS_PALETTE = b"\x00\x00\x00\x80\x00\x00\x00\x80\x00\x80\x80\x00\x00\x00\x80\x80\x00\x80\x00\x80\x80\x80\x80\x80\x40\x00\x00\xc0\x00\x00\x40\x80\x00\xc0\x80\x00\x40\x00\x80\xc0\x00\x80\x40\x80\x80\xc0\x80\x80"
+
+
+class InferenceEngine:
+    def __init__(self, model, params, text_encoder_type: str = "roberta-base",
+                 text_bucket: int = 32,
+                 time_buckets: Sequence[int] = (8, 16, 32),
+                 size_buckets=((360, 640),)):
+        self.model = model
+        self.params = params
+        self.tokenizer = build_tokenizer(text_encoder_type, text_bucket)
+        self.time_buckets = tuple(time_buckets)
+        self.size_buckets = tuple(size_buckets)
+        self._jitted = {}
+
+    # ---------------- jitted clip program ----------------
+    def _clip_program(self):
+        model = self.model
+
+        @jax.jit
+        def run(params, pixels, pad_mask, ids, msk):
+            out = model.apply(params, pixels, pad_mask, ids, msk)
+            pred_cls = out["pred_cls"][-1]  # (T, 1, Nq, K)
+            pred_masks = out["pred_masks"][-1]  # (T, 1, Nq, h, w)
+            scores = jax.nn.sigmoid(pred_cls.astype(jnp.float32))
+            traj_scores = scores.mean(0)[0].max(-1)  # (Nq,)
+            best = jnp.argmax(traj_scores)
+            masks = pred_masks[:, 0]  # (T, Nq, h, w)
+            sel = jnp.take_along_axis(
+                masks, best[None, None, None, None], axis=1
+            )[:, 0]  # (T, h, w) logits at stride 4
+            sel_scores = scores[:, 0, best, :].max(-1)  # (T,)
+            return sel, sel_scores
+
+        return run
+
+    def _get_program(self):
+        if "clip" not in self._jitted:
+            self._jitted["clip"] = self._clip_program()
+        return self._jitted["clip"]
+
+    # ---------------- per-video inference ----------------
+    def infer_video(
+        self, frames: np.ndarray, text: str,
+        original_size: Optional[Tuple[int, int]] = None,
+        return_probs: bool = False,
+    ) -> np.ndarray:
+        """frames: (T, h, w, 3) float32 normalized (resized, unpadded).
+
+        Returns (T, H_orig, W_orig) uint8 masks (or float32 probabilities at
+        original size when return_probs, for DAVIS multi-object merging)."""
+        T_total, fh, fw, _ = frames.shape
+        H, W = pick_size_bucket(fh, fw, self.size_buckets)
+        ids, msk = self.tokenizer([text])
+        run = self._get_program()
+
+        chunk = max(self.time_buckets)
+        outs, probs = [], []
+        for start in range(0, T_total, chunk):
+            clip = frames[start : start + chunk]
+            t = clip.shape[0]
+            T = pick_time_bucket(t, self.time_buckets)
+            pixels = np.zeros((T, 1, H, W, 3), np.float32)
+            pad = np.ones((T, 1, H, W), bool)
+            pixels[:t, 0, :fh, :fw] = clip
+            if t < T:  # repeat last frame into padding (content only)
+                pixels[t:, 0, :fh, :fw] = clip[-1]
+            pad[:, :, :fh, :fw] = False
+            sel, _ = run(self.params, pixels, pad, ids, msk)
+            sel = np.asarray(sel[:t])  # (t, h4, w4) logits
+            # upsample to padded size, crop padding, resize to original
+            up = np.asarray(
+                resize_bilinear(jnp.asarray(sel)[..., None], H, W)
+            )[..., 0]
+            up = up[:, :fh, :fw]
+            if original_size is not None and tuple(original_size) != (fh, fw):
+                up = np.asarray(
+                    resize_bilinear(
+                        jnp.asarray(up)[..., None], int(original_size[0]),
+                        int(original_size[1]),
+                    )
+                )[..., 0]
+            prob = 1.0 / (1.0 + np.exp(-np.clip(up, -30.0, 30.0)))
+            probs.append(prob.astype(np.float32))
+            outs.append((prob > 0.5).astype(np.uint8))
+        if return_probs:
+            return np.concatenate(probs, 0)
+        return np.concatenate(outs, 0)
+
+
+def shard_videos(items: List, num_shards: Optional[int] = None,
+                 shard_id: Optional[int] = None) -> List:
+    """Per-host video sharding (replaces the reference's mp.Process split)."""
+    num_shards = num_shards or jax.process_count()
+    shard_id = shard_id if shard_id is not None else jax.process_index()
+    return items[shard_id::num_shards]
+
+
+def save_ytvos_predictions(preds_by_video: List[Dict], out_dir: str):
+    """Write per-frame PNG masks in the competition layout
+    (reference infer_refytb.py:230-277)."""
+    from PIL import Image
+
+    out = Path(out_dir)
+    for pred in preds_by_video:
+        d = out / "Annotations" / pred["video_id"] / pred["exp_id"]
+        d.mkdir(parents=True, exist_ok=True)
+        for frame_idx, mask in zip(pred["frame_indices"], pred["pred_masks"]):
+            Image.fromarray((mask * 255).astype(np.uint8)).save(
+                d / f"{frame_idx}.png"
+            )
+
+
+def zip_submission(out_dir: str, zip_name: str = "submission.zip"):
+    """Zip Annotations/ for the competition server (reference trainer.py:344-350)."""
+    out = Path(out_dir)
+    zpath = out / zip_name
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        ann = out / "Annotations"
+        for p in sorted(ann.rglob("*.png")):
+            zf.write(p, p.relative_to(out))
+    return str(zpath)
+
+
+def merge_davis_annotator(prob_masks: List[np.ndarray]) -> np.ndarray:
+    """Merge per-object probability masks into index masks with a 0.1
+    background channel (reference infer_davis.py:263-275).
+
+    prob_masks: list over objects of (T, H, W) float scores in [0,1]."""
+    anno = np.stack(prob_masks)  # (n_obj, T, H, W)
+    anno = np.where(anno < 0.5, 0.0, anno)
+    background = 0.1 * np.ones((1,) + anno.shape[1:], anno.dtype)
+    merged = np.concatenate([background, anno], 0)
+    return np.argmax(merged, 0).astype(np.uint8)  # (T, H, W)
+
+
+def save_davis_annotator_masks(index_masks: np.ndarray, out_dir: str,
+                               frame_names: Sequence[str]):
+    from PIL import Image
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for f, name in enumerate(frame_names):
+        img = Image.fromarray(index_masks[f])
+        img.putpalette(DAVIS_PALETTE + bytes(768 - len(DAVIS_PALETTE)))
+        img.save(out / f"{name}.png")

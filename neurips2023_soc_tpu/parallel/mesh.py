@@ -66,7 +66,8 @@ def shard_batch(mesh: Mesh, batch: dict, batch_axis_by_key=None) -> dict:
             ax = 1 if (x.ndim >= 3 and key in _TIME_LEADING_KEYS) else 0
         return jax.device_put(x, batch_sharding(mesh, ax))
 
-    return {k: put(k, v) for k, v in batch.items()}
+    # host-side metadata (lists/tuples) stays on host and out of jit
+    return {k: put(k, v) for k, v in batch.items() if hasattr(v, "ndim")}
 
 
 _TIME_LEADING_KEYS = {

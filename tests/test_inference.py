@@ -1,0 +1,75 @@
+"""Inference engine + submission plumbing tests (tiny model, CPU)."""
+import numpy as np
+import pytest
+
+import jax
+
+from neurips2023_soc_tpu.inference import (
+    InferenceEngine,
+    merge_davis_annotator,
+    save_ytvos_predictions,
+    shard_videos,
+    zip_submission,
+)
+from neurips2023_soc_tpu.models.soc import SOC
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = SOC(
+        backbone_name="video-swin-t", d_model=64, num_queries=5,
+        dim_feedforward=128, enc_layers=1, dec_layers=2,
+        voc_enc_layers=1, voc_dec_layers=1, text_encoder_type="roberta-tiny",
+        dropout=0.0,
+    )
+    px = np.zeros((4, 1, 48, 64, 3), np.float32)
+    pad = np.zeros((4, 1, 48, 64), bool)
+    ids = np.ones((1, 8), np.int32)
+    msk = np.ones((1, 8), np.int32)
+    params = model.init(jax.random.PRNGKey(0), px, pad, ids, msk)
+    return InferenceEngine(
+        model, params, text_encoder_type="roberta-tiny", text_bucket=8,
+        time_buckets=(4,), size_buckets=((48, 64),),
+    )
+
+
+def test_whole_video_chunking(engine):
+    frames = np.random.RandomState(0).randn(7, 40, 56, 3).astype(np.float32)
+    masks = engine.infer_video(frames, "a thing", original_size=(80, 112))
+    assert masks.shape == (7, 80, 112)
+    assert masks.dtype == np.uint8
+    probs = engine.infer_video(frames[:3], "a thing", original_size=(40, 56),
+                               return_probs=True)
+    assert probs.shape == (3, 40, 56) and probs.min() >= 0 and probs.max() <= 1
+
+
+def test_davis_merge_background_wins_on_low_scores():
+    t, h, w = 2, 8, 8
+    obj1 = np.full((t, h, w), 0.4, np.float32)  # below 0.5 -> zeroed
+    obj2 = np.zeros((t, h, w), np.float32)
+    obj2[:, :4] = 0.9
+    merged = merge_davis_annotator([obj1, obj2])
+    assert (merged[:, :4] == 2).all()
+    assert (merged[:, 4:] == 0).all()  # background (0.1) beats zeroed obj1
+
+
+def test_ytvos_submission_zip(tmp_path):
+    preds = [{
+        "video_id": "vid1", "exp_id": "0",
+        "frame_indices": ["00000", "00005"],
+        "pred_masks": np.ones((2, 8, 8), np.uint8),
+    }]
+    save_ytvos_predictions(preds, str(tmp_path))
+    z = zip_submission(str(tmp_path))
+    import zipfile
+
+    names = zipfile.ZipFile(z).namelist()
+    assert "Annotations/vid1/0/00000.png" in names
+
+
+def test_shard_videos():
+    items = list(range(10))
+    s0 = shard_videos(items, num_shards=3, shard_id=0)
+    s1 = shard_videos(items, num_shards=3, shard_id=1)
+    s2 = shard_videos(items, num_shards=3, shard_id=2)
+    assert sorted(s0 + s1 + s2) == items
