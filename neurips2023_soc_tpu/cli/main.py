@@ -63,6 +63,32 @@ def make_batch_iterator(dataset, config, tokenizer):
     return train_batches
 
 
+def build_evaluator(config, tokenizer):
+    """Per-epoch eval hook (A2D/JHMDB COCO protocol; YTVOS has no public GT,
+    the reference checkpoints on train loss there — same here)."""
+    name = config.dataset_name
+    tk = dict(eval_short_size=config.eval_short_size,
+              eval_max_size=config.eval_max_size)
+    if name in ("a2d_sentences", "jhmdb_sentences"):
+        from ..evaluators import build_a2d_evaluator
+
+        if name == "a2d_sentences":
+            from ..data.a2d_sentences import A2DSentencesDataset
+
+            val = A2DSentencesDataset("test", config.img_folder,
+                                      window_size=config.window_size,
+                                      transforms_kwargs=tk)
+        else:
+            from ..data.jhmdb_sentences import JHMDBSentencesDataset
+
+            val = JHMDBSentencesDataset("test", config.img_folder,
+                                        window_size=config.window_size,
+                                        transforms_kwargs=tk)
+        return build_a2d_evaluator(val, tokenizer,
+                                   eval_batch_size=config.eval_batch_size)
+    return None
+
+
 def main():
     parser = add_config_args(argparse.ArgumentParser("SOC TPU training"))
     args = parser.parse_args()
@@ -76,6 +102,7 @@ def main():
         config,
         train_batches=make_batch_iterator(dataset, config, tokenizer),
         steps_per_epoch=steps_per_epoch,
+        evaluate_fn=build_evaluator(config, tokenizer),
     )
     if args.running_mode == "resume_train":
         first = next(iter(trainer.train_batches(0)))
@@ -83,6 +110,14 @@ def main():
         trainer.train()
     elif args.running_mode == "train":
         trainer.train()
+    elif args.running_mode == "test":
+        first = next(iter(trainer.train_batches(0)))
+        if config.get("checkpoint_path"):
+            trainer.load_checkpoint(sample_batch=first)
+        elif trainer._state is None:
+            trainer.init_state(first)
+        metrics = trainer.evaluate_fn(trainer._forward, trainer._state.params, 0)
+        print(metrics)
     else:
         raise ValueError(f"use infer_refytb/infer_davis for {args.running_mode}")
 

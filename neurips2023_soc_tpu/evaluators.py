@@ -63,6 +63,31 @@ def evaluate_a2d_batches(
     return metrics
 
 
+def build_a2d_evaluator(dataset, tokenizer, eval_batch_size: int = 4,
+                        calculate_pr: bool = True) -> Callable:
+    """Per-epoch A2D/JHMDB evaluation hook for Trainer (reference
+    trainer.py:252-313). GT annotations build once and cache."""
+    from .data.collate import collate_batch
+
+    gt_cache: Dict[str, List[Dict]] = {}
+
+    def evaluate(forward, params, epoch: int) -> Dict[str, float]:
+        if "gt" not in gt_cache:
+            gt_cache["gt"] = build_a2d_gt_annotations(dataset)
+
+        def batches():
+            for start in range(0, len(dataset), eval_batch_size):
+                samples = [dataset[i] for i in
+                           range(start, min(start + eval_batch_size, len(dataset)))]
+                yield collate_batch(samples, tokenizer)
+
+        return evaluate_a2d_batches(
+            forward, params, batches(), gt_cache["gt"], calculate_pr
+        )
+
+    return evaluate
+
+
 def evaluate_refer_youtube_vos(
     engine,
     dataset,
