@@ -75,7 +75,14 @@ class SyntheticRVOSDataset:
             "referred_instance_idx": 0,
         }
         if self.center_frame_only:
-            sample["valid_frame_idx"] = T // 2
+            # A2D-style: only the center frame is annotated
+            c = T // 2
+            sample["valid_frame_idx"] = c
+            sample["masks"] = sample["masks"][c : c + 1]
+            sample["boxes"] = sample["boxes"][c : c + 1]
+            sample["is_visible"] = sample["is_visible"][c : c + 1]
+            sample["image_id"] = f"synthetic_{idx}"
+            sample["orig_size"] = (h, w)
         return sample
 
 

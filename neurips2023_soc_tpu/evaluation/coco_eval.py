@@ -120,7 +120,7 @@ def evaluate_coco_map(gt_anns: List[Dict], dt_anns: List[Dict]) -> Dict[str, flo
         entries = per_rng[rng_name]
         n_gt = sum(e[3] for e in entries)
         if n_gt == 0:
-            return float("nan")
+            return -1.0  # pycocotools convention for empty area ranges
         T = len(IOU_THRS)
         dtm = np.concatenate([e[0] for e in entries], axis=1)
         dt_ig = np.concatenate([e[1] for e in entries], axis=1)

@@ -63,13 +63,64 @@ def evaluate_a2d_batches(
     return metrics
 
 
+def evaluate_coco_pretrain_batches(
+    forward: Callable,
+    params,
+    batches: Iterable[Dict],
+    gt_annotations: List[Dict],
+    gt_boxes_by_img: Dict,
+) -> Dict[str, float]:
+    """RefCOCO pretrain validation (reference pretrainer.py:354-434): mask
+    mAP + P@K/IoU via the COCO protocol, plus bbox recall@k and bbox P@K."""
+    from .evaluation.refexp_eval import (
+        bbox_precision_at_k_and_iou,
+        evaluate_refexp_recall,
+    )
+    from .models.postprocessing import a2d_postprocess, coco_topk_device_step
+
+    dt_annotations = []
+    dt_boxes_by_img: Dict = {}
+    for batch in batches:
+        outputs = forward(params, batch)
+        preds = a2d_postprocess(
+            outputs, batch["pixels"].shape[2:4],
+            batch["resized_sizes"], batch["orig_sizes"],
+        )
+        scores_k, labels_k, boxes_k = coco_topk_device_step(
+            outputs["pred_cls"][-1], outputs["pred_boxes"][-1]
+        )
+        scores_k = np.asarray(scores_k)
+        boxes_k = np.asarray(boxes_k)
+        for b, (image_id, p) in enumerate(zip(batch["image_ids"], preds)):
+            sc = np.asarray(p["scores"])
+            for q in range(len(sc)):
+                dt_annotations.append({
+                    "image_id": image_id,
+                    "segmentation": p["rle_masks"][q],
+                    "score": float(sc[q]),
+                })
+            oh, ow = batch["orig_sizes"][b]
+            scale = np.array([ow, oh, ow, oh], np.float32)
+            dt_boxes_by_img[image_id] = [
+                {"box": boxes_k[b, k] * scale, "score": float(scores_k[b, k])}
+                for k in range(boxes_k.shape[1])
+            ]
+    metrics = evaluate_coco_map(gt_annotations, dt_annotations)
+    metrics.update(precision_at_k_and_iou(gt_annotations, dt_annotations))
+    metrics.update(evaluate_refexp_recall(gt_boxes_by_img, dt_boxes_by_img))
+    metrics.update(bbox_precision_at_k_and_iou(gt_boxes_by_img, dt_boxes_by_img))
+    return metrics
+
+
 def build_a2d_evaluator(dataset, tokenizer, eval_batch_size: int = 4,
-                        calculate_pr: bool = True) -> Callable:
+                        calculate_pr: bool = True,
+                        collate_kwargs: Optional[Dict] = None) -> Callable:
     """Per-epoch A2D/JHMDB evaluation hook for Trainer (reference
     trainer.py:252-313). GT annotations build once and cache."""
     from .data.collate import collate_batch
 
     gt_cache: Dict[str, List[Dict]] = {}
+    collate_kwargs = collate_kwargs or {}
 
     def evaluate(forward, params, epoch: int) -> Dict[str, float]:
         if "gt" not in gt_cache:
@@ -79,7 +130,7 @@ def build_a2d_evaluator(dataset, tokenizer, eval_batch_size: int = 4,
             for start in range(0, len(dataset), eval_batch_size):
                 samples = [dataset[i] for i in
                            range(start, min(start + eval_batch_size, len(dataset)))]
-                yield collate_batch(samples, tokenizer)
+                yield collate_batch(samples, tokenizer, **collate_kwargs)
 
         return evaluate_a2d_batches(
             forward, params, batches(), gt_cache["gt"], calculate_pr

@@ -287,6 +287,28 @@ def flax_to_torch(path: Tuple[str, ...]) -> Optional[Tuple[str, str]]:
     return None
 
 
+def kinetics_swin_to_backbone(state_dict: Dict[str, "np.ndarray"]):
+    """Convert a Kinetics-400 Video-Swin torch checkpoint into SOC backbone
+    keys (reference video_swin_transformer.py:646-670): strip the 'backbone.'
+    prefix, sum the patch-embed temporal dim (2,4,4)->(1,4,4), and move each
+    stage's downsample out of the BasicLayer (layers.{s}.downsample ->
+    downsamples.{s}) to match the SOC wrapper."""
+    out = {}
+    for k, v in state_dict.items():
+        if not k.startswith("backbone."):
+            continue
+        k = k[len("backbone."):]
+        if "relative_position_index" in k or "attn_mask" in k:
+            continue
+        if k == "patch_embed.proj.weight":
+            v = np.asarray(v).sum(axis=2, keepdims=True)
+        m = re.match(r"layers\.(\d+)\.downsample\.(.*)", k)
+        if m:
+            k = f"downsamples.{m.group(1)}.{m.group(2)}"
+        out["backbone.0.body." + k] = np.asarray(v)
+    return out
+
+
 def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"], flax_params):
     """Fill a flax params pytree from a torch state_dict.
 

@@ -60,18 +60,26 @@ def make_train_step(model, crit_cfg: CriterionConfig, has_valid_indices: bool = 
 
 
 def make_forward_fn(model):
-    """Inference forward: returns the full stacked-output dict."""
+    """Inference forward (already jitted): returns the full stacked-output
+    dict. Host-side metadata entries (strings, tuples) in the collated batch
+    are stripped before the jit boundary."""
 
-    def forward(params, batch):
+    @jax.jit
+    def _fwd(params, device_batch):
         return model.apply(
             params,
-            batch["pixels"],
-            batch["pad_mask"],
-            batch["text_ids"],
-            batch["text_mask"],
-            sample_sizes=batch.get("sample_sizes"),
-            valid_indices=batch.get("valid_indices"),
+            device_batch["pixels"],
+            device_batch["pad_mask"],
+            device_batch["text_ids"],
+            device_batch["text_mask"],
+            sample_sizes=device_batch.get("sample_sizes"),
+            valid_indices=device_batch.get("valid_indices"),
             training=False,
+        )
+
+    def forward(params, batch):
+        return _fwd(
+            params, {k: v for k, v in batch.items() if hasattr(v, "ndim")}
         )
 
     return forward

@@ -46,9 +46,17 @@ class Trainer:
         """train_batches(epoch) yields host batch dicts (see data/collate.py);
         evaluate_fn(forward, params, epoch) -> metrics dict."""
         self.config = config
-        self.mesh = mesh if mesh is not None else make_mesh(
-            shape=(len(jax.devices()),), axis_names=("data",)
-        )
+        if mesh is None:
+            # data-axis size must divide the global batch; use the largest
+            # divisor of batch_size that fits the device count
+            n_dev = len(jax.devices())
+            bs = int(config.batch_size)
+            n = max(d for d in range(1, n_dev + 1) if bs % d == 0 or d == 1)
+            while bs % n != 0:
+                n -= 1
+            mesh = make_mesh(shape=(n,), axis_names=("data",),
+                             devices=jax.devices()[:n])
+        self.mesh = mesh
         self.model = build_model(config)
         self.crit_cfg = build_criterion_config(config)
         self.train_batches = train_batches
@@ -106,7 +114,7 @@ class Trainer:
             make_train_step(model, self.crit_cfg, has_valid_indices=has_valid),
             donate_argnums=(0,),
         )
-        self._forward = jax.jit(make_forward_fn(model))
+        self._forward = make_forward_fn(model)
 
     # ---------------- training ----------------
     def train(self):

@@ -1,0 +1,63 @@
+"""Trainer orchestration: one epoch on synthetic data, checkpoint save/prune,
+resume, and log.txt writing."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from neurips2023_soc_tpu.config import load_config
+from neurips2023_soc_tpu.data.synthetic import SyntheticRVOSDataset
+from neurips2023_soc_tpu.data.collate import collate_batch
+from neurips2023_soc_tpu.models.text_encoder import build_tokenizer
+from neurips2023_soc_tpu.training.trainer import Trainer
+
+SIZE = ((48, 64),)
+TIME = (4,)
+
+
+def make_trainer(tmp_path, epochs=1):
+    cfg = load_config("configs/tiny_synthetic.yaml", overrides={
+        "epochs": epochs, "output_dir": str(tmp_path), "batch_size": 2,
+        "num_samples": 4,
+    })
+    ds = SyntheticRVOSDataset(num_samples=4, num_frames=4, frame_size=(48, 64))
+    tok = build_tokenizer("roberta-tiny", text_bucket=12)
+
+    def train_batches(epoch):
+        for start in range(0, len(ds), 2):
+            yield collate_batch([ds[start], ds[start + 1]], tok,
+                                size_buckets=SIZE, time_buckets=TIME)
+
+    return Trainer(cfg, train_batches, steps_per_epoch=2), ds
+
+
+def test_trainer_epoch_checkpoints_and_logs(tmp_path):
+    trainer, _ = make_trainer(tmp_path, epochs=2)
+    trainer.train()
+    ckpts = sorted((tmp_path / "checkpoints").glob("epoch_*"))
+    assert len(ckpts) == 2
+    log = (tmp_path / "log.txt").read_text().strip().splitlines()
+    assert len(log) == 2
+    rec = json.loads(log[-1])
+    assert rec["epoch"] == 1 and np.isfinite(rec["train_loss"])
+    assert (tmp_path / "checkpoints" / "best.json").exists()
+
+
+def test_trainer_resume(tmp_path):
+    trainer, _ = make_trainer(tmp_path, epochs=1)
+    trainer.train()
+    step_after = int(trainer._state.step)
+
+    trainer2, _ = make_trainer(tmp_path, epochs=2)
+    first = next(iter(trainer2.train_batches(0)))
+    trainer2.load_checkpoint(sample_batch=first)
+    assert trainer2.epoch == 1
+    assert int(trainer2._state.step) == step_after
+    p_before = trainer._state.params["params"]["controller"]
+    p_restored = trainer2._state.params["params"]["controller"]
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_before),
+                    jax.tree_util.tree_leaves(p_restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
