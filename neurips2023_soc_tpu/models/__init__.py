@@ -44,5 +44,6 @@ def build_model(config):
         aux_loss=config.aux_loss,
         use_remat=config.get("use_checkpoint", False),
         msda_impl=config.get("msda_impl", "xla"),
+        swin_attn_impl=config.get("swin_attn_impl", "xla"),
         dtype=dtype,
     )

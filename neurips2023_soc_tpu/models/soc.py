@@ -67,13 +67,15 @@ class SOC(nn.Module):
     aux_loss: bool = True
     use_remat: bool = False
     msda_impl: str = "xla"
+    swin_attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         C = self.d_model
         if self.backbone_name in SWIN_CONFIGS:
             self.backbone = build_video_swin(
-                self.backbone_name, use_remat=self.use_remat, dtype=self.dtype
+                self.backbone_name, use_remat=self.use_remat,
+                attn_impl=self.swin_attn_impl, dtype=self.dtype,
             )
             embed = SWIN_CONFIGS[self.backbone_name]["embed_dim"]
             self.backbone_channels = [embed * 2 ** i for i in range(4)]

@@ -75,12 +75,15 @@ class WindowAttention3D(nn.Module):
     window: Window  # full configured window (bias table size)
     num_heads: int
     qkv_bias: bool = True
+    attn_impl: str = "xla"  # 'pallas' -> fused ops.window_attention kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, eff_window: Window,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """x: (B_, N, C) windows; mask: (nW, N, N) additive or None."""
+        from ..ops.window_attention import window_attention
+
         B_, N, C = x.shape
         H = self.num_heads
         Dh = C // H
@@ -99,22 +102,15 @@ class WindowAttention3D(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(B_, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, H, N, Dh)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (Dh ** -0.5), k)
 
         # relative position bias; when the window is clamped the reference
         # indexes the full-window table with index[:N, :N] — same here.
         idx = _np_rel_pos_index(self.window)[:N, :N]
         bias = bias_table[idx.reshape(-1)].reshape(N, N, H)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
+        bias = jnp.transpose(bias, (2, 0, 1))  # (H, N, N)
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(
-                attn.dtype
-            )
-            attn = attn.reshape(B_, H, N, N)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = window_attention(q, k, v, bias, mask, impl=self.attn_impl)
+        out = out.astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -127,6 +123,7 @@ class SwinBlock3D(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_path: float = 0.0
+    attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -156,7 +153,7 @@ class SwinBlock3D(nn.Module):
 
         xw = WindowAttention3D(
             self.dim, self.window, self.num_heads, self.qkv_bias,
-            dtype=self.dtype, name="attn",
+            attn_impl=self.attn_impl, dtype=self.dtype, name="attn",
         )(xw, window, mask)
 
         x = xw.reshape(B, nwd, nwh, nww, wd, wh, ww, C)
@@ -214,6 +211,7 @@ class VideoSwinBackbone(nn.Module):
     drop_path_rate: float = 0.2
     patch_norm: bool = True
     use_remat: bool = False
+    attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -256,6 +254,7 @@ class VideoSwinBackbone(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
                     drop_path=float(dpr[block_idx]),
+                    attn_impl=self.attn_impl,
                     dtype=self.dtype,
                     name=f"layers_{stage}_blocks_{i}",
                 )(x, deterministic)
@@ -278,6 +277,7 @@ SWIN_CONFIGS = {
 
 
 def build_video_swin(name: str, use_remat: bool = False,
+                     attn_impl: str = "xla",
                      dtype: jnp.dtype = jnp.float32) -> VideoSwinBackbone:
     cfg = SWIN_CONFIGS[name]
     return VideoSwinBackbone(
@@ -286,6 +286,7 @@ def build_video_swin(name: str, use_remat: bool = False,
         drop_path_rate=0.2,
         patch_norm=True,
         use_remat=use_remat,
+        attn_impl=attn_impl,
         dtype=dtype,
         **cfg,
     )

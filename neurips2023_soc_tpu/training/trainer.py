@@ -82,6 +82,19 @@ class Trainer:
         self._train_step = None
         self._forward = None
 
+        # optional wandb (reference trainer.py:113-114); package is not in the
+        # TPU image so this is gated
+        self._wandb = None
+        if config.get("wandb_mode") == "online":
+            try:
+                import wandb
+
+                wandb.init(project="RefVOS", config=config.to_dict(),
+                           name="SOC_TPU")
+                self._wandb = wandb
+            except ImportError:
+                print("wandb requested but not installed; logging to log.txt only")
+
     # ---------------- state / jit setup ----------------
     def init_state(self, sample_batch: Dict):
         model = self.model
@@ -158,6 +171,8 @@ class Trainer:
             self.save_checkpoint(is_best, log_stats)
             with open(self.output_dir / "log.txt", "a") as f:
                 f.write(json.dumps(log_stats) + "\n")
+            if self._wandb is not None:
+                self._wandb.log(log_stats)
 
     def _update_best(self, eval_metrics: Dict, epoch_loss: float) -> bool:
         if self.dataset_name == "a2d_sentences":
