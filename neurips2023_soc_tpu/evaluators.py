@@ -57,6 +57,10 @@ def evaluate_a2d_batches(
                     "segmentation": p["rle_masks"][q],
                     "score": float(scores[q]),
                 })
+    # merge per-host predictions (reference trainer.py:290-293 all_gather)
+    from .parallel.multihost import gather_objects
+
+    dt_annotations = [a for part in gather_objects(dt_annotations) for a in part]
     metrics = evaluate_coco_map(gt_annotations, dt_annotations)
     if calculate_pr:
         metrics.update(precision_at_k_and_iou(gt_annotations, dt_annotations))

@@ -26,8 +26,12 @@ Window = Tuple[int, int, int]
 
 
 @functools.lru_cache(maxsize=64)
-def _np_attn_mask(Dp: int, Hp: int, Wp: int, window: Window, shift: Window):
-    """(nW, N, N) additive mask for shifted windows (0 / -100)."""
+def _np_window_region_ids(Dp: int, Hp: int, Wp: int, window: Window,
+                          shift: Window) -> np.ndarray:
+    """(nW, N) int32 region ids per shifted-window token. The (nW, N, N)
+    additive mask is derived ON DEVICE from this small constant — embedding
+    the full mask as an HLO literal is O(100 MB) at video scale and overflows
+    the compiler's request limits."""
     img = np.zeros((Dp, Hp, Wp), np.int32)
     cnt = 0
     for d in (slice(-window[0]), slice(-window[0], -shift[0]), slice(-shift[0], None)):
@@ -37,9 +41,24 @@ def _np_attn_mask(Dp: int, Hp: int, Wp: int, window: Window, shift: Window):
                 cnt += 1
     wd, wh, ww = window
     win = img.reshape(Dp // wd, wd, Hp // wh, wh, Wp // ww, ww)
-    win = win.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
-    diff = win[:, None, :] - win[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+    return np.ascontiguousarray(
+        win.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
+    )
+
+
+def _attn_mask(Dp: int, Hp: int, Wp: int, window: Window, shift: Window):
+    """(nW, N, N) additive mask (0 / -100)
+    (reference models/video_swin_transformer.py:316-329). Small masks embed
+    as constants (folded by XLA, fastest); large ones are built on device
+    from the compact region-id constant so the HLO stays small."""
+    ids_np = _np_window_region_ids(Dp, Hp, Wp, window, shift)
+    nW, N = ids_np.shape
+    if nW * N * N * 4 <= 8 << 20:  # 8 MB literal budget
+        diff = ids_np[:, None, :] != ids_np[:, :, None]
+        return jnp.asarray(np.where(diff, -100.0, 0.0).astype(np.float32))
+    ids = jnp.asarray(ids_np)
+    neq = ids[:, None, :] != ids[:, :, None]
+    return jnp.where(neq, -100.0, 0.0).astype(jnp.float32)
 
 
 @functools.lru_cache(maxsize=64)
@@ -142,7 +161,7 @@ class SwinBlock3D(nn.Module):
 
         if any(s > 0 for s in shift):
             x = jnp.roll(x, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-            mask = jnp.asarray(_np_attn_mask(Dp, Hp, Wp, window, shift))
+            mask = _attn_mask(Dp, Hp, Wp, window, shift)
         else:
             mask = None
 

@@ -28,8 +28,12 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def make_train_step(model, crit_cfg: CriterionConfig, has_valid_indices: bool = False):
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+def make_train_step(model, crit_cfg: CriterionConfig,
+                    has_valid_indices: bool = False, donate: bool = True):
+    """Returns a jitted train_step(state, batch, rng) -> (state, metrics).
+
+    Host-side metadata entries in the collated batch (strings, tuples) are
+    stripped before the jit boundary; the state argument is donated."""
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng):
         def loss_fn(params):
@@ -56,7 +60,14 @@ def make_train_step(model, crit_cfg: CriterionConfig, has_valid_indices: bool = 
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    return train_step
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def step(state, batch, rng):
+        return jitted(
+            state, {k: v for k, v in batch.items() if hasattr(v, "ndim")}, rng
+        )
+
+    return step
 
 
 def make_forward_fn(model):

@@ -123,9 +123,8 @@ class Trainer:
         )
         self._state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
         has_valid = self.dataset_name in ("a2d_sentences", "jhmdb_sentences")
-        self._train_step = jax.jit(
-            make_train_step(model, self.crit_cfg, has_valid_indices=has_valid),
-            donate_argnums=(0,),
+        self._train_step = make_train_step(
+            model, self.crit_cfg, has_valid_indices=has_valid
         )
         self._forward = make_forward_fn(model)
 

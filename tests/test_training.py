@@ -44,7 +44,7 @@ def setup():
         clip_max_norm=0.1, freeze_text=True,
     )
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
-    step = jax.jit(make_train_step(model, CriterionConfig()))
+    step = make_train_step(model, CriterionConfig(), donate=False)
     return model, state, step, batches
 
 
@@ -84,3 +84,34 @@ def test_loss_decreases_on_repeated_batch(setup):
         state, metrics = step(state, batch, jax.random.PRNGKey(42))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_train_step_with_valid_indices():
+    """A2D-style center-frame training: pred T collapses to 1 annotated frame."""
+    from neurips2023_soc_tpu.training.train_step import make_train_step
+
+    model = SOC(
+        backbone_name="video-swin-t", d_model=64, num_queries=5,
+        dim_feedforward=128, enc_layers=1, dec_layers=2,
+        voc_enc_layers=1, voc_dec_layers=1, text_encoder_type="roberta-tiny",
+        dropout=0.0,
+    )
+    ds = SyntheticRVOSDataset(num_samples=4, num_frames=4, frame_size=(48, 64),
+                              center_frame_only=True)
+    tok = build_tokenizer("roberta-tiny", text_bucket=12)
+    from neurips2023_soc_tpu.data.synthetic import iterate_batches
+
+    batch = next(iterate_batches(ds, 2, tok, shuffle=False, size_buckets=SIZE,
+                                 time_buckets=TIME))
+    assert "valid_indices" in batch
+    assert batch["masks"].shape[0] == 1  # targets collapse to annotated frame
+    params = model.init(
+        jax.random.PRNGKey(0), batch["pixels"], batch["pad_mask"],
+        batch["text_ids"], batch["text_mask"],
+    )
+    tx = build_optimizer(params, lr=1e-4, lr_backbone=1e-5, text_encoder_lr=5e-6)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_train_step(model, CriterionConfig(),
+                          has_valid_indices=True, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
