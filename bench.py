@@ -8,7 +8,6 @@ when present in baseline_fps.json, else null.
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np

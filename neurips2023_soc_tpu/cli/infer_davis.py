@@ -51,6 +51,9 @@ def main():
     for i in range(len(dataset)):
         meta = dataset.samples_list[i]
         by_video[meta[0]].append(i)
+    # per-host video sharding (replaces the reference's mp.Process split)
+    vids = shard_videos(sorted(by_video.keys()))
+    by_video = {v: by_video[v] for v in vids}
 
     t0 = time.time()
     for video_id, idxs in by_video.items():
@@ -66,6 +69,7 @@ def main():
                     s["frames"], s["text"],
                     original_size=meta["original_frame_size"],
                     return_probs=True,
+                    trajectory="chunk",  # reference infer_davis.py:242-247
                 )
                 prob_masks.append(probs)
             merged = merge_davis_annotator(prob_masks)

@@ -63,6 +63,19 @@ def main():
     )
     out_dir = config.get("output_dir") or "outputs/ytvos_valid"
     t0 = time.time()
+    # per-host video sharding (replaces the reference's mp.Process split)
+    import jax
+
+    if jax.process_count() > 1:
+        class _Shard:
+            def __init__(self, ds):
+                self.idx = shard_videos(list(range(len(ds))))
+                self.ds = ds
+            def __len__(self):
+                return len(self.idx)
+            def __getitem__(self, i):
+                return self.ds[self.idx[i]]
+        dataset = _Shard(dataset)
     result = evaluate_refer_youtube_vos(engine, dataset, out_dir)
     print(f"done in {time.time() - t0:.1f}s -> {result}")
 

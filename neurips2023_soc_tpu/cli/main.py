@@ -14,7 +14,6 @@ from ..config import add_config_args, config_from_args
 from ..data.collate import collate_batch
 from ..models.text_encoder import build_tokenizer
 from ..training.trainer import Trainer
-from ..utils.padded import DEFAULT_SIZE_BUCKETS
 
 
 def build_train_dataset(config):

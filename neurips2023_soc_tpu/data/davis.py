@@ -5,7 +5,6 @@ per-object masks with an argmax over objects per annotator.
 from __future__ import annotations
 
 import json
-from glob import glob
 from os import path
 from typing import Dict, List, Optional, Tuple
 

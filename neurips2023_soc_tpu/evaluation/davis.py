@@ -8,7 +8,6 @@ ground-truth objects by (J+F)/2 (evaluation.py:44-66).
 """
 from __future__ import annotations
 
-import math
 import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -3,7 +3,6 @@ precision/recall@k over predicted boxes vs the referred GT box, plus the
 pretrainer's bbox variants of P@K / IoU (reference metrics.py:62-94)."""
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Dict, List, Sequence
 
 import numpy as np

@@ -13,8 +13,6 @@ exactly like the reference's one-process-per-GPU split (infer_refytb.py:84-109).
 """
 from __future__ import annotations
 
-import functools
-import os
 import zipfile
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -23,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .data.collate import normalize_frames
 from .models.text_encoder import build_tokenizer
 from .ops import resize_bilinear
 from .utils.padded import pick_size_bucket, pick_time_bucket
@@ -35,7 +32,7 @@ DAVIS_PALETTE = b"\x00\x00\x00\x80\x00\x00\x00\x80\x00\x80\x80\x00\x00\x00\x80\x
 class InferenceEngine:
     def __init__(self, model, params, text_encoder_type: str = "roberta-base",
                  text_bucket: int = 32,
-                 time_buckets: Sequence[int] = (8, 16, 32),
+                 time_buckets: Sequence[int] = (8, 16),
                  size_buckets=((360, 640),)):
         self.model = model
         self.params = params
@@ -44,8 +41,12 @@ class InferenceEngine:
         self.size_buckets = tuple(size_buckets)
         self._jitted = {}
 
-    # ---------------- jitted clip program ----------------
+    # ---------------- jitted clip programs ----------------
     def _clip_program(self):
+        """All-query program: per-chunk scores + stride-4 mask logits for all
+        queries. Trajectory selection happens on the host over the WHOLE
+        video, matching reference infer_refytb.py:221-226 exactly even when
+        the video is processed in chunks."""
         model = self.model
 
         @jax.jit
@@ -53,15 +54,9 @@ class InferenceEngine:
             out = model.apply(params, pixels, pad_mask, ids, msk)
             pred_cls = out["pred_cls"][-1]  # (T, 1, Nq, K)
             pred_masks = out["pred_masks"][-1]  # (T, 1, Nq, h, w)
-            scores = jax.nn.sigmoid(pred_cls.astype(jnp.float32))
-            traj_scores = scores.mean(0)[0].max(-1)  # (Nq,)
-            best = jnp.argmax(traj_scores)
-            masks = pred_masks[:, 0]  # (T, Nq, h, w)
-            sel = jnp.take_along_axis(
-                masks, best[None, None, None, None], axis=1
-            )[:, 0]  # (T, h, w) logits at stride 4
-            sel_scores = scores[:, 0, best, :].max(-1)  # (T,)
-            return sel, sel_scores
+            scores = jax.nn.sigmoid(pred_cls.astype(jnp.float32))[:, 0]  # (T,Nq,K)
+            # stride-4 logits for every query, bf16 to keep transfers small
+            return scores.max(-1), pred_masks[:, 0].astype(jnp.bfloat16)
 
         return run
 
@@ -75,8 +70,13 @@ class InferenceEngine:
         self, frames: np.ndarray, text: str,
         original_size: Optional[Tuple[int, int]] = None,
         return_probs: bool = False,
+        trajectory: str = "video",
     ) -> np.ndarray:
         """frames: (T, h, w, 3) float32 normalized (resized, unpadded).
+
+        trajectory='video': one trajectory chosen from whole-video mean scores
+        (reference infer_refytb.py:221-226); 'chunk': re-selected per chunk
+        (reference infer_davis.py:242-247).
 
         Returns (T, H_orig, W_orig) uint8 masks (or float32 probabilities at
         original size when return_probs, for DAVIS multi-object merging)."""
@@ -86,7 +86,7 @@ class InferenceEngine:
         run = self._get_program()
 
         chunk = max(self.time_buckets)
-        outs, probs = [], []
+        all_scores, all_logits = [], []
         for start in range(0, T_total, chunk):
             clip = frames[start : start + chunk]
             t = clip.shape[0]
@@ -97,9 +97,20 @@ class InferenceEngine:
             if t < T:  # repeat last frame into padding (content only)
                 pixels[t:, 0, :fh, :fw] = clip[-1]
             pad[:, :, :fh, :fw] = False
-            sel, _ = run(self.params, pixels, pad, ids, msk)
-            sel = np.asarray(sel[:t])  # (t, h4, w4) logits
-            # upsample to padded size, crop padding, resize to original
+            scores, logits = run(self.params, pixels, pad, ids, msk)
+            all_scores.append(np.asarray(scores[:t]))  # (t, Nq)
+            all_logits.append(np.asarray(logits[:t]).astype(np.float32))
+
+        scores = np.concatenate(all_scores, 0)  # (T_total, Nq)
+        outs, probs = [], []
+        if trajectory == "video":
+            best = int(scores.mean(0).argmax())
+            chosen = [best] * len(all_logits)
+        else:  # per-chunk selection (DAVIS)
+            chosen = [int(s.mean(0).argmax()) for s in all_scores]
+
+        for logits, q in zip(all_logits, chosen):
+            sel = logits[:, q]  # (t, h4, w4)
             up = np.asarray(
                 resize_bilinear(jnp.asarray(sel)[..., None], H, W)
             )[..., 0]

@@ -190,11 +190,23 @@ def ms_deform_attn_xla(
         jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * M
         + jnp.arange(M, dtype=jnp.int32)[None, None, :, None]
     )
-    rows = (anchor + bm * S).reshape(-1)
+    rows_all = anchor + bm * S  # (B, Lq, M, LP)
 
-    g = jnp.take(table, rows, axis=0)  # (B*Lq*M*LP, 4D)
-    g = g.reshape(B, Lq, M, LP, 4, D)
-    out = (g.astype(jnp.float32) * w[..., None]).sum(axis=(3, 4))
+    # XLA materializes the gathered (rows, 4D) tensor, so chunk the batch axis
+    # to bound the intermediate (~2.5 GB f32) — whole-video clips (T=32+ folded
+    # into B) would otherwise exceed HBM.
+    rows_per_b = Lq * M * LP
+    chunk_b = max(1, min(B, (10 << 20) // max(rows_per_b, 1)))
+    outs = []
+    for b0 in range(0, B, chunk_b):
+        b1 = min(b0 + chunk_b, B)
+        rows = rows_all[b0:b1].reshape(-1)
+        g = jnp.take(table, rows, axis=0)  # ((b1-b0)*Lq*M*LP, 4D)
+        g = g.reshape(b1 - b0, Lq, M, LP, 4, D)
+        outs.append(
+            (g.astype(jnp.float32) * w[b0:b1][..., None]).sum(axis=(3, 4))
+        )
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return out.reshape(B, Lq, M * D).astype(value.dtype)
 
 

@@ -6,11 +6,9 @@ torch `.pth.tar` checkpoints through training.convert for the model zoo.
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

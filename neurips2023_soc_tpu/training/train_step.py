@@ -8,11 +8,9 @@ bf16 compute needs no loss scaling on TPU.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 from flax.training import train_state
 

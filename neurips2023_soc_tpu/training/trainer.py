@@ -22,12 +22,10 @@ from pathlib import Path
 from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..losses import build_criterion_config
 from ..models import build_model
-from ..models.text_encoder import build_tokenizer
 from ..parallel import make_mesh, shard_batch
 from .checkpoint import CheckpointManager, load_pretrained_into_params
 from .optim import build_optimizer

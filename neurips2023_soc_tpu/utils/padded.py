@@ -13,7 +13,6 @@ little compute (SURVEY.md §7 "disciplined bucketing/padding story").
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Sequence, Tuple
 
 import numpy as np
