@@ -51,13 +51,20 @@ def build_train_dataset(config):
 
 
 def make_batch_iterator(dataset, config, tokenizer):
+    # one static (T, H, W) bucket derived from the training transform sizes
+    # keeps every epoch on a single compiled program
+    size_buckets = ((config.train_short_size, config.train_max_size),)
+    time_buckets = (config.window_size,)
+
     def train_batches(epoch: int):
         rng = np.random.RandomState(config.seed + epoch)
         order = rng.permutation(len(dataset))
         bs = config.batch_size
         for start in range(0, len(order) - bs + 1, bs):
             samples = [dataset[int(i)] for i in order[start : start + bs]]
-            yield collate_batch(samples, tokenizer)
+            yield collate_batch(samples, tokenizer,
+                                size_buckets=size_buckets,
+                                time_buckets=time_buckets)
 
     return train_batches
 

@@ -82,6 +82,9 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--batch_size", "-bs", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--lr_drop", type=int, nargs="+", default=None)
+    parser.add_argument("--window_size", "-ws", type=int, default=None)
+    parser.add_argument("--pretrained_weights", "-pw", default=None)
     parser.add_argument("--backbone", "-b", default=None)
     parser.add_argument("--backbone_pretrained_path", "-bpp", default=None)
     parser.add_argument("--checkpoint_path", "-ckpt", default=None)

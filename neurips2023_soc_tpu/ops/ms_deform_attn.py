@@ -184,7 +184,8 @@ def ms_deform_attn_xla(
         ws = ws.reshape(ws.shape[:-2] + (4,)) * attn[:, :, :, l, :, None]
         w_levels.append(ws)
     anchor = jnp.stack(anchor_levels, 3).reshape(B, Lq, M, LP)  # spatial idx
-    w = jnp.stack(w_levels, 3).reshape(B, Lq, M, LP, 4)
+    # weights kept flat (..., LP*4): a trailing dim of 4 would tile-pad 32x
+    w = jnp.stack(w_levels, 3).reshape(B, Lq, M, LP * 4)
 
     bm = (
         jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * M
@@ -192,9 +193,10 @@ def ms_deform_attn_xla(
     )
     rows_all = anchor + bm * S  # (B, Lq, M, LP)
 
-    # XLA materializes the gathered (rows, 4D) tensor, so chunk the batch axis
-    # to bound the intermediate (~2.5 GB f32) — whole-video clips (T=32+ folded
-    # into B) would otherwise exceed HBM.
+    # XLA materializes the gathered tensor, so (a) keep its minor dim 4*D
+    # (=128 for d_model 256) — reshaping to (..., 4, D) forces (8,128) tile
+    # padding and a 4x memory/bandwidth blowup — and (b) chunk the batch axis
+    # so whole-video clips (T=32+ folded into B) stay within HBM.
     rows_per_b = Lq * M * LP
     chunk_b = max(1, min(B, (10 << 20) // max(rows_per_b, 1)))
     outs = []
@@ -202,10 +204,13 @@ def ms_deform_attn_xla(
         b1 = min(b0 + chunk_b, B)
         rows = rows_all[b0:b1].reshape(-1)
         g = jnp.take(table, rows, axis=0)  # ((b1-b0)*Lq*M*LP, 4D)
-        g = g.reshape(b1 - b0, Lq, M, LP, 4, D)
-        outs.append(
-            (g.astype(jnp.float32) * w[b0:b1][..., None]).sum(axis=(3, 4))
-        )
+        g = g.reshape(b1 - b0, Lq, M, LP * 4 * D)
+        # per-(lp, slot) weights widened to their D channel columns (slot
+        # blocks are contiguous in the patch table); product in the value
+        # dtype, f32 accumulation over both lp and slot
+        w_wide = jnp.repeat(w[b0:b1], D, axis=-1).astype(g.dtype)
+        prod = (g * w_wide).astype(jnp.float32)
+        outs.append(prod.reshape(b1 - b0, Lq, M, LP * 4, D).sum(3))
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return out.reshape(B, Lq, M * D).astype(value.dtype)
 
@@ -228,6 +233,8 @@ def ms_deform_attn(
             )
         except ImportError:
             pass  # kernel not built yet -> XLA flat-gather path
-    return ms_deform_attn_xla(
-        value, spatial_shapes, sampling_locations, attention_weights
-    )
+    # remat: recompute the gather in the backward pass instead of saving the
+    # multi-GB gathered tensor as a residual (the analog of the reference's
+    # custom Function not saving im2col buffers)
+    fn = jax.checkpoint(ms_deform_attn_xla, static_argnums=(1,))
+    return fn(value, spatial_shapes, sampling_locations, attention_weights)
