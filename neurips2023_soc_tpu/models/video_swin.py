@@ -78,6 +78,32 @@ def _np_rel_pos_index(window: Window) -> np.ndarray:
     return rel.sum(-1)
 
 
+@functools.lru_cache(maxsize=64)
+def _np_axis_rel(n: int, size: int) -> np.ndarray:
+    """(n, n) relative offsets along one window axis, shifted to [0, 2size-2]."""
+    a = np.arange(n)
+    return (a[:, None] - a[None, :] + size - 1).astype(np.int32)
+
+
+def _rel_pos_bias(bias_table: jnp.ndarray, window: Window, N: int) -> jnp.ndarray:
+    """(H, N, N) relative-position bias built *separably*: three tiny-index
+    gathers along the d/h/w axes instead of one N^2-row gather per block
+    (the direct gather costs ~1 ms/block at window (8,7,7) on v5e)."""
+    wd, wh, ww = window
+    H = bias_table.shape[-1]
+    T = bias_table.reshape(2 * wd - 1, 2 * wh - 1, 2 * ww - 1, H)
+    A = jnp.take(T, jnp.asarray(_np_axis_rel(wd, wd).reshape(-1)), axis=0)
+    A = A.reshape(wd, wd, 2 * wh - 1, 2 * ww - 1, H)
+    B = jnp.take(A, jnp.asarray(_np_axis_rel(wh, wh).reshape(-1)), axis=2)
+    B = B.reshape(wd, wd, wh, wh, 2 * ww - 1, H)
+    C = jnp.take(B, jnp.asarray(_np_axis_rel(ww, ww).reshape(-1)), axis=4)
+    C = C.reshape(wd, wd, wh, wh, ww, ww, H)
+    bias = jnp.transpose(C, (0, 2, 4, 1, 3, 5, 6))
+    n_full = wd * wh * ww
+    bias = bias.reshape(n_full, n_full, H)[:N, :N]
+    return jnp.transpose(bias, (2, 0, 1))  # (H, N, N)
+
+
 def _effective_window(size: Tuple[int, int, int], window: Window, shift: Window):
     """Clamp window to the input size; zero the shift where clamped
     (reference models/video_swin_transformer.py:71-84)."""
@@ -124,9 +150,7 @@ class WindowAttention3D(nn.Module):
 
         # relative position bias; when the window is clamped the reference
         # indexes the full-window table with index[:N, :N] — same here.
-        idx = _np_rel_pos_index(self.window)[:N, :N]
-        bias = bias_table[idx.reshape(-1)].reshape(N, N, H)
-        bias = jnp.transpose(bias, (2, 0, 1))  # (H, N, N)
+        bias = _rel_pos_bias(bias_table, self.window, N)  # (H, N, N)
 
         out = window_attention(q, k, v, bias, mask, impl=self.attn_impl)
         out = out.astype(self.dtype)

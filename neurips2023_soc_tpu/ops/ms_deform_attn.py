@@ -7,15 +7,13 @@ of `L` flattened feature levels at `sampling_locations` (normalized [0,1] xy,
 zero padding outside, grid_sample align_corners=False convention) and reduce
 with softmaxed `attention_weights`.
 
-Two implementations behind one functional API, mirroring the reference's
-oracle/kernel split (SURVEY.md §7 step 2):
-
-* ``impl='xla'``  — vectorized gathers (`jnp.take_along_axis`); XLA lowers these
-  to TPU dynamic-gather. Fully differentiable via autodiff (the value gradient
-  becomes a scatter-add, handled by XLA).
-* ``impl='pallas'`` — fused Pallas kernel keeping the whole (S, M*D) value in
-  VMEM per batch element (at reference scale S*M*D is ~2-5 MB). Forward only;
-  gradients fall back to the XLA path via custom_vjp.
+Implementation: patch-table flat gathers (see ms_deform_attn_xla docstring) —
+TPU gathers are row-rate-bound, so each sample reads ONE (4*D)-wide row
+holding its whole 2x2 bilinear neighborhood. Gradients come from autodiff
+(the value gradient lowers to scatter-add), with `jax.checkpoint` so the
+multi-GB gathered tensor is recomputed instead of saved. An in-VMEM Pallas
+gather kernel (impl='pallas') is blocked by a Mosaic dynamic_gather compiler
+crash on this toolchain (BENCH_NOTES.md); the hook remains for when it works.
 
 Shapes (channels-last, head-major):
   value:               (B, S, M, D)   S = sum(H_l*W_l)
@@ -41,66 +39,6 @@ def level_start_index(spatial_shapes: SpatialShapes) -> Tuple[int, ...]:
         starts.append(cur)
         cur += h * w
     return tuple(starts)
-
-
-def _corner_weights(x: jnp.ndarray, y: jnp.ndarray, H: int, W: int):
-    """Bilinear corner indices/weights with zero padding outside the map.
-
-    x, y are unnormalized pixel coords (grid_sample align_corners=False:
-    px = loc * size - 0.5). Returns per-corner (flat_idx, weight) with weight
-    zeroed for out-of-bounds corners.
-    """
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    corners = []
-    for dy, wy in ((0, 1.0 - fy), (1, fy)):
-        for dx, wx in ((0, 1.0 - fx), (1, fx)):
-            xi = x0i + dx
-            yi = y0i + dy
-            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-            idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-            w = (wx * wy) * valid.astype(x.dtype)
-            corners.append((idx, w))
-    return corners
-
-
-def _flat_indices_and_weights(
-    spatial_shapes: SpatialShapes,
-    sampling_locations: jnp.ndarray,  # (B, Lq, M, L, P, 2)
-    attention_weights: jnp.ndarray,  # (B, Lq, M, L, P)
-):
-    """Per-corner flat row indices into a (B*M*S, D) value table + combined
-    bilinear*attention weights. Returns (idx, w) each (4, B, Lq, M, L*P)."""
-    B, Lq, M, L, P, _ = sampling_locations.shape
-    loc = sampling_locations.astype(jnp.float32)
-    attn = attention_weights.astype(jnp.float32)
-    starts = level_start_index(spatial_shapes)
-    S = sum(h * w for h, w in spatial_shapes)
-
-    idx_corners, w_corners = [], []
-    for c in range(4):
-        idx_levels, w_levels = [], []
-        for l, (H, W) in enumerate(spatial_shapes):
-            x = loc[:, :, :, l, :, 0] * W - 0.5  # (B, Lq, M, P)
-            y = loc[:, :, :, l, :, 1] * H - 0.5
-            corner = _corner_weights(x, y, H, W)[c]
-            idx_levels.append(corner[0] + starts[l])
-            w_levels.append(corner[1] * attn[:, :, :, l, :])
-        idx_corners.append(jnp.stack(idx_levels, 3).reshape(B, Lq, M, L * P))
-        w_corners.append(jnp.stack(w_levels, 3).reshape(B, Lq, M, L * P))
-    idx = jnp.stack(idx_corners)  # (4, B, Lq, M, LP) — spatial index within S
-    w = jnp.stack(w_corners)
-    # fold batch and head into the row index: row = (b*M + m)*S + s
-    bm = (
-        jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * M
-        + jnp.arange(M, dtype=jnp.int32)[None, None, :, None]
-    )  # (B, 1, M, 1)
-    idx = idx + bm[None] * S
-    return idx, w
 
 
 def _slot_weights(q: jnp.ndarray, f: jnp.ndarray, a: jnp.ndarray,

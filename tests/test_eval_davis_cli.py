@@ -1,0 +1,64 @@
+"""eval_davis CLI end-to-end over a synthetic DAVIS tree with palette PNGs."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _save_palette(mask, path):
+    img = Image.fromarray(mask.astype(np.uint8)).convert("P")
+    img.save(path)
+
+
+@pytest.fixture()
+def davis_tree(tmp_path):
+    davis = tmp_path / "DAVIS"
+    results = tmp_path / "results"
+    seqs = ["seq_a", "seq_b"]
+    frames = [f"{i:05d}" for i in range(6)]
+    (davis / "ImageSets" / "2017").mkdir(parents=True)
+    (davis / "ImageSets" / "2017" / "val.txt").write_text("\n".join(seqs) + "\n")
+    rng = np.random.RandomState(0)
+    for seq in seqs:
+        gt_dir = davis / "Annotations_unsupervised" / "480p" / seq
+        gt_dir.mkdir(parents=True)
+        for anno in range(4):
+            (results / f"anno_{anno}" / seq).mkdir(parents=True)
+        for f in frames:
+            gt = np.zeros((48, 64), np.uint8)
+            gt[8:24, 8:24] = 1
+            gt[30:44, 40:60] = 2
+            _save_palette(gt, gt_dir / f"{f}.png")
+            for anno in range(4):
+                # perfect predictions for annotators 0-2; sloppy for 3
+                pred = gt.copy()
+                if anno == 3:
+                    pred = np.roll(pred, 4, axis=1)
+                _save_palette(pred, results / f"anno_{anno}" / seq / f"{f}.png")
+    return davis, results
+
+
+def test_eval_davis_cli(davis_tree, capsys, monkeypatch):
+    davis, results = davis_tree
+    from neurips2023_soc_tpu.cli.eval_davis import main
+
+    monkeypatch.setattr(sys, "argv", [
+        "eval_davis", "--davis_path", str(davis),
+        "--results_path", str(results), "--set", "val",
+    ])
+    main()
+    out = capsys.readouterr().out
+    assert "anno_0" in out and "mean over annotators" in out
+    assert (results / "global_results.csv").exists()
+    # perfect annotators score J&F ~1.0
+    import csv
+
+    with open(results / "global_results.csv") as f:
+        rows = list(csv.DictReader(f))
+    perfect = [r for r in rows if r["annotator"] in ("0", "1", "2")]
+    for r in perfect:
+        assert float(r["J&F-Mean"]) > 0.99
+    sloppy = [r for r in rows if r["annotator"] == "3"][0]
+    assert float(sloppy["J&F-Mean"]) < 0.99
