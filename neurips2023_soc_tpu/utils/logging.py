@@ -90,6 +90,25 @@ class MetricLogger:
               f"{datetime.timedelta(seconds=int(time.time() - start))}")
 
 
+def setup_for_distributed(is_main: Optional[bool] = None):
+    """Suppress print on non-main hosts (reference misc.py:163-175)."""
+    import builtins
+
+    if is_main is None:
+        import jax
+
+        is_main = jax.process_index() == 0
+    if is_main:
+        return
+    orig_print = builtins.print
+
+    def print_main_only(*args, force: bool = False, **kwargs):
+        if force:
+            orig_print(*args, **kwargs)
+
+    builtins.print = print_main_only
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: Optional[str], enabled: bool = True):
     """jax.profiler trace context; no-op when disabled or unsupported."""
