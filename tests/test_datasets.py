@@ -86,3 +86,86 @@ def test_size_with_aspect_ratio_max_cap():
     assert size_with_aspect_ratio(720, 1280, 360, 640) == (360, 640)
     oh, ow = size_with_aspect_ratio(480, 1280, 360, 640)
     assert ow == 640 and oh == round(480 * 640 / 1280)
+
+
+@pytest.fixture(scope="module")
+def jhmdb_root(tmp_path_factory):
+    import scipy.io
+
+    root = tmp_path_factory.mktemp("jhmdb")
+    lines = ["video_id,query"]
+    for vid in ["brush_hair_vid", "catch_vid"]:
+        d = root / "Rename_Images" / "action" / vid
+        d.mkdir(parents=True)
+        for t in range(5):
+            img = (np.random.RandomState(t).rand(48, 64, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{t + 1:05d}.png")
+        md = root / "puppet_mask" / "action" / vid
+        md.mkdir(parents=True)
+        mask = np.zeros((48, 64, 5), np.uint8)
+        mask[10:30, 20:40, :] = 1
+        scipy.io.savemat(md / "puppet_mask.mat", {"part_mask": mask})
+        lines.append(f"{vid},a person doing things")
+    ann = root / "jhmdb_annotation.txt"
+    ann.write_text("\n".join(lines) + "\n")
+    return root
+
+
+def test_jhmdb_dataset(jhmdb_root, monkeypatch):
+    from neurips2023_soc_tpu.data import jhmdb_sentences as jh
+
+    monkeypatch.setattr(jh, "build_samples_metadata",
+                        lambda p, c=None, seed=42: _jhmdb_meta(jhmdb_root))
+    ds = jh.JHMDBSentencesDataset(
+        "test", str(jhmdb_root), window_size=4,
+        transforms_kwargs=dict(eval_short_size=48, eval_max_size=64),
+    )
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["frames"].shape[0] == 4
+    assert s["masks"].shape == (1, 1, 48, 64)
+    assert s["is_visible"].all()
+    assert s["valid_frame_idx"] == 2
+
+
+def _jhmdb_meta(root):
+    from glob import glob
+    from os import path
+
+    out = []
+    for vid in ["brush_hair_vid", "catch_vid"]:
+        frames = sorted(glob(str(root / "Rename_Images" / "action" / vid / "*.png")))
+        masks = str(root / "puppet_mask" / "action" / vid / "puppet_mask.mat")
+        for fi in (1, 3):
+            out.append((vid, frames[fi], masks, fi, "a person doing things"))
+    return out
+
+
+def test_ytvos_valid_split(ytvos_root, tmp_path):
+    import json as _json
+    import shutil
+
+    # synthesize a valid split from the train fixture
+    root = tmp_path / "ytvos_valid"
+    shutil.copytree(ytvos_root, root)
+    (root / "valid").mkdir(exist_ok=True)
+    shutil.copytree(root / "train" / "JPEGImages", root / "valid" / "JPEGImages")
+    (root / "meta_expressions" / "valid").mkdir(parents=True)
+    meta = _json.loads(
+        (root / "meta_expressions" / "train" / "meta_expressions.json").read_text())
+    (root / "meta_expressions" / "valid" / "meta_expressions.json").write_text(
+        _json.dumps(meta))
+    (root / "meta_expressions" / "test").mkdir(parents=True)
+    (root / "meta_expressions" / "test" / "meta_expressions.json").write_text(
+        _json.dumps({"videos": {}}))
+
+    ds = ReferYouTubeVOSDataset(
+        "test", str(root), check_counts=False,
+        transforms_kwargs=dict(eval_short_size=48, eval_max_size=80),
+    )
+    # 2 videos x 2 expressions
+    assert len(ds) == 4
+    s = ds[0]
+    assert "video_metadata" in s and "masks" not in s
+    assert s["frames"].shape[0] == 10  # full-length video
+    assert s["video_metadata"]["original_frame_size"] == (64, 96)
