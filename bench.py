@@ -18,7 +18,7 @@ def main():
 
     from neurips2023_soc_tpu.models.soc import SOC
 
-    T = int(os.environ.get("BENCH_FRAMES", 8))
+    T = int(os.environ.get("BENCH_FRAMES", 16))
     H, W = 360, 640  # Ref-YTVOS eval resolution (configs: 360 short side / 640 max)
     S = 16
     backbone = os.environ.get("BENCH_BACKBONE", "video-swin-t")

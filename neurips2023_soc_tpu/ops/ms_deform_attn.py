@@ -83,23 +83,27 @@ def ms_deform_attn_xla(
     loc = sampling_locations.astype(jnp.float32)
     attn = attention_weights.astype(jnp.float32)
 
-    # patch table: (B, M, S, 4D); rolls stay within each level's row range
     vh = jnp.transpose(value, (0, 2, 1, 3))  # (B, M, S, D)
-    level_tables = []
-    for l, (H, W) in enumerate(spatial_shapes):
-        v_l = jax.lax.dynamic_slice_in_dim(vh, starts[l], H * W, axis=2)
-        level_tables.append(
-            jnp.concatenate(
-                [
-                    v_l,
-                    jnp.roll(v_l, -1, axis=2),
-                    jnp.roll(v_l, -W, axis=2),
-                    jnp.roll(v_l, -(W + 1), axis=2),
-                ],
-                axis=-1,
+
+    def build_table(vh_chunk):
+        """Patch table (b, M, S, 4D) -> flat (b*M*S, 4D); row s holds the 2x2
+        neighborhood. Rolls stay within each level's row range."""
+        level_tables = []
+        for l, (H, W) in enumerate(spatial_shapes):
+            v_l = jax.lax.dynamic_slice_in_dim(vh_chunk, starts[l], H * W, axis=2)
+            level_tables.append(
+                jnp.concatenate(
+                    [
+                        v_l,
+                        jnp.roll(v_l, -1, axis=2),
+                        jnp.roll(v_l, -W, axis=2),
+                        jnp.roll(v_l, -(W + 1), axis=2),
+                    ],
+                    axis=-1,
+                )
             )
-        )
-    table = jnp.concatenate(level_tables, axis=2).reshape(B * M * S, 4 * D)
+        t = jnp.concatenate(level_tables, axis=2)
+        return t.reshape(-1, 4 * D)
 
     # anchors + per-slot weights per level
     anchor_levels, w_levels = [], []
@@ -125,23 +129,25 @@ def ms_deform_attn_xla(
     # weights kept flat (..., LP*4): a trailing dim of 4 would tile-pad 32x
     w = jnp.stack(w_levels, 3).reshape(B, Lq, M, LP * 4)
 
-    bm = (
-        jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * M
-        + jnp.arange(M, dtype=jnp.int32)[None, None, :, None]
-    )
-    rows_all = anchor + bm * S  # (B, Lq, M, LP)
-
     # XLA materializes the gathered tensor, so (a) keep its minor dim 4*D
     # (=128 for d_model 256) — reshaping to (..., 4, D) forces (8,128) tile
-    # padding and a 4x memory/bandwidth blowup — and (b) chunk the batch axis
-    # so whole-video clips (T=32+ folded into B) stay within HBM.
+    # padding and a 4x memory/bandwidth blowup — and (b) chunk the batch axis:
+    # it bounds both HBM for whole-video clips (T=32+ folded into B) AND the
+    # per-gather table footprint (the v5e gather rate degrades ~3x once the
+    # table outgrows ~300 MB, measured at B=16 vs B=8).
     rows_per_b = Lq * M * LP
-    chunk_b = max(1, min(B, (10 << 20) // max(rows_per_b, 1)))
+    chunk_b = max(1, min(B, (5 << 20) // max(rows_per_b, 1)))
     outs = []
     for b0 in range(0, B, chunk_b):
         b1 = min(b0 + chunk_b, B)
-        rows = rows_all[b0:b1].reshape(-1)
-        g = jnp.take(table, rows, axis=0)  # ((b1-b0)*Lq*M*LP, 4D)
+        nb = b1 - b0
+        table = build_table(vh[b0:b1])  # (nb*M*S, 4D)
+        bm = (
+            jnp.arange(nb, dtype=jnp.int32)[:, None, None, None] * M
+            + jnp.arange(M, dtype=jnp.int32)[None, None, :, None]
+        )
+        rows = (anchor[b0:b1] + bm * S).reshape(-1)
+        g = jnp.take(table, rows, axis=0)  # (nb*Lq*M*LP, 4D)
         g = g.reshape(b1 - b0, Lq, M, LP * 4 * D)
         # per-(lp, slot) weights widened to their D channel columns (slot
         # blocks are contiguous in the patch table); product in the value
