@@ -57,20 +57,31 @@ def _layer_losses(
     N = targets["inst_valid"].shape[1]
     valid = targets["inst_valid"].astype(jnp.float32)  # (B, N)
 
-    # upsample predicted masks once; shared by matcher + mask loss
-    up = resize_bilinear(
-        layer_out["pred_masks"][..., None].astype(jnp.float32), Ht, Wt,
-        align_corners=False,
+    # full-res upsample of ALL queries is needed only for the matching cost,
+    # which runs under stop_gradient — keep it out of the autodiff graph. The
+    # loss upsamples only the matched queries (resize and gather commute, so
+    # this is exactly the reference's loss, criterion.py:159, at a fraction of
+    # the backward cost).
+    up_cost = resize_bilinear(
+        jax.lax.stop_gradient(layer_out["pred_masks"])[..., None].astype(
+            jnp.float32
+        ),
+        Ht, Wt, align_corners=False,
     )[..., 0]  # (T, B, Nq, Ht, Wt)
 
-    assign = hungarian_match(layer_out, targets, up, cfg.costs)  # (B, N)
+    assign = hungarian_match(layer_out, targets, up_cost, cfg.costs)  # (B, N)
 
     num_masks = jnp.maximum(T * valid.sum(), 1.0)
 
     losses = {}
 
     # ---- masks (reference criterion.py:142-168)
-    src_masks = _take_queries(up, assign)  # (T, B, N, Ht, Wt)
+    src_small = _take_queries(
+        layer_out["pred_masks"].astype(jnp.float32), assign
+    )  # (T, B, N, h4, w4)
+    src_masks = resize_bilinear(
+        src_small[..., None], Ht, Wt, align_corners=False
+    )[..., 0]  # (T, B, N, Ht, Wt)
     tgt_masks = targets["masks"].astype(jnp.float32)
     w = jnp.broadcast_to(valid[None], (T, B, N)).reshape(-1)
     sm = src_masks.reshape(T * B * N, Ht * Wt)
