@@ -136,7 +136,7 @@ def ms_deform_attn_xla(
     # per-gather table footprint (the v5e gather rate degrades ~3x once the
     # table outgrows ~300 MB, measured at B=16 vs B=8).
     rows_per_b = Lq * M * LP
-    chunk_b = max(1, min(B, (5 << 20) // max(rows_per_b, 1)))
+    chunk_b = max(1, min(B, (2 << 20) // max(rows_per_b, 1)))
     outs = []
     for b0 in range(0, B, chunk_b):
         b1 = min(b0 + chunk_b, B)

@@ -1,4 +1,6 @@
-"""Fused (shifted-)window attention for Video-Swin — Pallas TPU kernel.
+"""Fused (shifted-)window attention for Video-Swin — Pallas TPU kernel
+(the compute of reference models/video_swin_transformer.py:138-169,
+WindowAttention3D.forward, as one VMEM-resident kernel).
 
 The backbone's hottest non-matmul cost is materializing the per-window
 attention matrices in HBM (stage 1: ~299 windows x 3 heads x 392x392). This
