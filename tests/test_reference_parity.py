@@ -1,0 +1,417 @@
+"""Numeric parity vs the ACTUAL /root/reference torch modules on CPU.
+
+Round-1 tests validated against independently rewritten oracles; these tests
+instantiate the reference's own modules with random weights, convert them with
+`training/convert.py`, and assert activation parity — so a layout-convention
+bug in either the converter or any module semantics fails loudly
+(VERDICT.md round 1, "Next round" item 2).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.ref_harness import (
+    convert_submodule, install_reference, seed_all, torch_sd, zero_dropout,
+)
+
+install_reference()
+
+RTOL = 2e-4
+ATOL = 2e-4
+
+
+def allclose(a, b, rtol=RTOL, atol=ATOL, msg=""):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    assert a.shape == b.shape, f"{msg}: shape {a.shape} vs {b.shape}"
+    err = np.max(np.abs(a - b)) if a.size else 0.0
+    assert np.allclose(a, b, rtol=rtol, atol=atol), f"{msg}: max abs err {err}"
+
+
+# ---------------------------------------------------------------- msda
+
+
+def _msda_inputs(seed=0, B=2, M=4, D=8, Lq=11, P=4,
+                 shapes=((9, 12), (5, 6), (3, 3))):
+    rng = np.random.RandomState(seed)
+    S = sum(h * w for h, w in shapes)
+    L = len(shapes)
+    value = rng.randn(B, S, M, D).astype(np.float32)
+    # include out-of-range locations to exercise zero-padding semantics
+    loc = rng.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+    attn = rng.rand(B, Lq, M, L, P).astype(np.float32)
+    attn /= attn.reshape(B, Lq, M, -1).sum(-1).reshape(B, Lq, M, 1, 1)
+    return value, shapes, loc, attn
+
+
+def _ref_msda(value, shapes, loc, attn):
+    from models.ops.functions.ms_deform_attn_func import ms_deform_attn_core_pytorch
+
+    out = ms_deform_attn_core_pytorch(
+        torch.from_numpy(value),
+        torch.as_tensor(shapes, dtype=torch.long),
+        torch.from_numpy(loc),
+        torch.from_numpy(attn),
+    )
+    return out.detach().numpy()
+
+
+def test_msda_forward_vs_reference_oracle():
+    from neurips2023_soc_tpu.ops import ms_deform_attn
+
+    value, shapes, loc, attn = _msda_inputs()
+    ref = _ref_msda(value, shapes, loc, attn)
+    mine = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+    allclose(mine, ref, msg="msda forward")
+
+
+def test_msda_grads_vs_reference_oracle():
+    from models.ops.functions.ms_deform_attn_func import ms_deform_attn_core_pytorch
+    from neurips2023_soc_tpu.ops import ms_deform_attn
+
+    value, shapes, loc, attn = _msda_inputs(seed=3, B=1, Lq=7)
+    g = np.random.RandomState(1).randn(1, 7, 32).astype(np.float32)
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    ta = torch.from_numpy(attn).requires_grad_(True)
+    out = ms_deform_attn_core_pytorch(
+        tv, torch.as_tensor(shapes, dtype=torch.long), tl, ta
+    )
+    (out * torch.from_numpy(g)).sum().backward()
+
+    def f(v, l, a):
+        return (ms_deform_attn(v, shapes, l, a) * g).sum()
+
+    gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(value, loc, attn)
+    allclose(gv, tv.grad.numpy(), atol=5e-4, msg="msda dvalue")
+    allclose(gl, tl.grad.numpy(), rtol=2e-3, atol=2e-3, msg="msda dloc")
+    allclose(ga, ta.grad.numpy(), atol=5e-4, msg="msda dattn")
+
+
+# ------------------------------------------------- position encodings
+
+
+def test_position_encoding_2d_vs_reference():
+    from misc import NestedTensor
+    from models.position_encoding import PositionEmbeddingSine2D
+    from neurips2023_soc_tpu.models.position_encoding import (
+        position_embedding_sine_2d,
+    )
+
+    rng = np.random.RandomState(0)
+    B, H, W = 3, 13, 17
+    mask = np.zeros((B, H, W), bool)
+    mask[0, 9:, :] = True  # bottom pad
+    mask[1, :, 12:] = True  # right pad
+    ref = PositionEmbeddingSine2D(num_pos_feats=64, normalize=True)(
+        NestedTensor(torch.zeros(B, 1, H, W), torch.from_numpy(mask))
+    ).numpy()  # (B, C, H, W)
+    mine = np.asarray(position_embedding_sine_2d(jnp.asarray(mask), 64))
+    allclose(mine.transpose(0, 3, 1, 2), ref, msg="2d sine PE")
+
+
+def test_position_encoding_1d_vs_reference():
+    from misc import NestedTensor
+    from models.position_encoding import PositionEmbeddingSine1D
+    from neurips2023_soc_tpu.models.position_encoding import (
+        position_embedding_sine_1d,
+    )
+
+    B, S = 2, 9
+    mask = np.zeros((B, S), bool)
+    mask[0, 6:] = True
+    ref = PositionEmbeddingSine1D(num_pos_feats=256, normalize=True)(
+        NestedTensor(torch.zeros(B, 4, S), torch.from_numpy(mask))
+    ).numpy()  # (B, C, S)
+    mine = np.asarray(position_embedding_sine_1d(jnp.asarray(mask), 256))
+    allclose(mine.transpose(0, 2, 1), ref, msg="1d sine PE")
+
+
+# ------------------------------------------------------- resize ops
+
+
+def test_aligned_bilinear_vs_reference():
+    from models.soc import aligned_bilinear as ref_aligned
+    from neurips2023_soc_tpu.ops import aligned_bilinear
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 9, 11).astype(np.float32)  # torch NCHW
+    for factor in (1, 2, 4):
+        ref = ref_aligned(torch.from_numpy(x), factor).numpy()
+        mine = np.asarray(
+            aligned_bilinear(jnp.asarray(x.transpose(0, 2, 3, 1)), factor)
+        ).transpose(0, 3, 1, 2)
+        allclose(mine, ref, msg=f"aligned_bilinear x{factor}")
+
+
+def test_resize_bilinear_matches_torch_interpolate():
+    from neurips2023_soc_tpu.ops import resize_bilinear
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 1, 7, 9).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(20, 26), mode="bilinear", align_corners=False
+    ).numpy()
+    mine = np.asarray(
+        resize_bilinear(jnp.asarray(x.transpose(0, 2, 3, 1)), 20, 26,
+                        align_corners=False)
+    ).transpose(0, 3, 1, 2)
+    allclose(mine, ref, msg="resize_bilinear align_corners=False")
+
+
+# ---------------------------------------------------------------- MMF
+
+
+def test_mmf_vs_reference():
+    from models.vla import MMF as RefMMF
+    from neurips2023_soc_tpu.models.common import MMF
+
+    seed_all(0)
+    C, heads, B, St, Sm = 32, 4, 2, 5, 7
+    ref = RefMMF(C, heads).eval()
+
+    rng = np.random.RandomState(1)
+    tgt = rng.randn(B, St, C).astype(np.float32)
+    mem = rng.randn(B, Sm, C).astype(np.float32)
+    pos = rng.randn(B, Sm, C).astype(np.float32)
+    kpm = np.zeros((B, Sm), bool)
+    kpm[0, 5:] = True
+
+    with torch.no_grad():
+        # reference MMF is seq-major: (S, B, C)
+        ref_out = ref(
+            torch.from_numpy(tgt.transpose(1, 0, 2)),
+            torch.from_numpy(mem.transpose(1, 0, 2)),
+            memory_key_padding_mask=torch.from_numpy(kpm),
+            pos=torch.from_numpy(pos.transpose(1, 0, 2)),
+        ).numpy().transpose(1, 0, 2)
+
+    model = MMF(C, heads)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(tgt),
+                           jnp.asarray(mem))
+    variables, _ = convert_submodule(variables, torch_sd(ref, "vlf."),
+                                     flax_prefix="vlf")
+    mine = np.asarray(
+        model.apply(variables, jnp.asarray(tgt), jnp.asarray(mem),
+                    memory_key_padding_mask=jnp.asarray(kpm),
+                    pos=jnp.asarray(pos))
+    )
+    allclose(mine, ref_out, msg="MMF fusion")
+
+
+# ---------------------------------------------------------- video swin
+
+
+def test_video_swin_vs_reference():
+    from models.video_swin_transformer import VideoSwinTransformerBackbone
+    from neurips2023_soc_tpu.models.video_swin import VideoSwinBackbone
+
+    seed_all(0)
+    cfg = dict(
+        patch_size=(1, 4, 4), embed_dim=16, depths=[1, 1, 2, 1],
+        num_heads=[1, 2, 4, 8], window_size=(8, 7, 7), mlp_ratio=4.0,
+        qkv_bias=True, qk_scale=None, drop_rate=0.0, attn_drop_rate=0.0,
+        drop_path_rate=0.2, patch_norm=True, use_checkpoint=False,
+    )
+    ref = VideoSwinTransformerBackbone(False, None, True, **cfg).eval()
+
+    B, T, H, W = 2, 3, 32, 48
+    rng = np.random.RandomState(1)
+    video = rng.randn(B, T, H, W, 3).astype(np.float32)
+
+    with torch.no_grad():
+        # reference folds time b-major: (b t) c h w
+        samples = torch.from_numpy(
+            video.reshape(B * T, H, W, 3).transpose(0, 3, 1, 2)
+        )
+        ref_out = ref(samples, num_frames=T)  # dict {'0': (B*T, C, h, w), ...}
+
+    model = VideoSwinBackbone(
+        patch_size=(1, 4, 4), embed_dim=16, depths=(1, 1, 2, 1),
+        num_heads=(1, 2, 4, 8), window=(8, 7, 7), drop_path_rate=0.2,
+        patch_norm=True,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(video))
+    variables, report = convert_submodule(
+        variables, torch_sd(ref, "backbone.0.body."), flax_prefix="backbone"
+    )
+    mine = model.apply(variables, jnp.asarray(video))
+    for lvl in range(4):
+        allclose(
+            np.asarray(mine[lvl]).transpose(0, 3, 1, 2),
+            ref_out[str(lvl)].numpy(),
+            rtol=1e-3, atol=1e-3,
+            msg=f"video swin level {lvl}",
+        )
+
+
+# ----------------------------------------------------------------- VOC
+
+
+def _voc_pair(window_size, T, enc_layers=2, dec_layers=2, C=32, Nq=6, Lyr=2):
+    from models.voc import VOC as RefVOC
+    from neurips2023_soc_tpu.models.voc import VOC
+
+    seed_all(0)
+    cfg = dict(
+        input_dim=C, window_size=window_size, num_frame_queries=Nq,
+        num_queries=Nq, nheads=4, dim_feedforward=64,
+        enc_layers=enc_layers, dec_layers=dec_layers, num_frames=T,
+    )
+    ref = RefVOC(cfg).eval()
+    model = VOC(
+        input_dim=C, window_size=window_size, num_frame_queries=Nq,
+        num_queries=Nq, num_heads=4, dim_feedforward=64,
+        enc_layers=enc_layers, dec_layers=dec_layers,
+    )
+    return ref, model
+
+
+@pytest.mark.parametrize("window_size,T,training",
+                         [(0, 5, True), (0, 5, False), (3, 7, True),
+                          (3, 7, False)])
+def test_voc_vs_reference(window_size, T, training):
+    # B=1: the reference's (L,T,B,..)->(L*B,T,..) reshape is only correct for
+    # B==1 (models/voc.py:282); ours implements the intended regroup, so
+    # parity is only defined there.
+    B, Nq, C, Lyr = 1, 6, 32, 2
+    ref, model = _voc_pair(window_size, T)
+
+    rng = np.random.RandomState(2)
+    fq = rng.randn(Lyr, T, B, Nq, C).astype(np.float32)
+    lang = rng.randn(B, C).astype(np.float32)
+
+    ref.train(training)
+    zero_dropout(ref)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(fq), torch.from_numpy(lang)).numpy()
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(fq), jnp.asarray(lang)
+    )
+    variables, _ = convert_submodule(variables, torch_sd(ref, "voc."),
+                                     flax_prefix="voc")
+    mine = np.asarray(
+        model.apply(variables, jnp.asarray(fq), jnp.asarray(lang),
+                    training=training, deterministic=True)
+    )
+    if not training:
+        # reference returns L=1 (last layer only); ours the same
+        assert mine.shape[0] == 1 and ref_out.shape[0] == 1
+    allclose(mine, ref_out, rtol=1e-3, atol=1e-3,
+             msg=f"VOC ws={window_size} training={training}")
+
+
+# --------------------------------------------- deformable transformer
+
+
+def test_deformable_transformer_vs_reference():
+    from models.deformable_transformer import DeformableTransformer as RefDT
+    from models.soc import MLP as RefMLP, _get_clones
+    from neurips2023_soc_tpu.models.deformable_transformer import (
+        DeformableTransformer,
+    )
+
+    seed_all(0)
+    C, heads, L, Nq = 32, 4, 3, 5
+    ref = RefDT(
+        d_model=C, nhead=heads, num_encoder_layers=2, num_decoder_layers=2,
+        dim_feedforward=64, dropout=0.1, return_intermediate_dec=True,
+        num_feature_levels=L, dec_n_points=4, enc_n_points=4, two_stage=False,
+    ).eval()
+    # SOC attaches the box-refinement heads onto the decoder
+    # (reference models/soc.py:91-96)
+    bbox_embed = _get_clones(RefMLP(C, C, 4, 3), 2)
+    torch.nn.init.constant_(bbox_embed[0].layers[-1].bias.data[2:], -2.0)
+    ref.decoder.bbox_embed = bbox_embed
+
+    shapes = ((8, 12), (4, 6), (2, 3))
+    B = 2
+    rng = np.random.RandomState(3)
+    srcs = [rng.randn(B, h, w, C).astype(np.float32) for h, w in shapes]
+    poses = [rng.randn(B, h, w, C).astype(np.float32) for h, w in shapes]
+    masks = [np.zeros((B, h, w), bool) for h, w in shapes]
+    masks[0][0, 6:, :] = True  # bottom pad on sample 0, level 0
+    masks[1][0, 3:, :] = True
+    masks[2][0, 1:, :] = True
+    qe = rng.randn(Nq, C).astype(np.float32)
+
+    with torch.no_grad():
+        tgt = torch.zeros(B, 1, Nq, C)
+        ref_hs, ref_mem, ref_init, ref_inter, _, _, _ = ref(
+            [torch.from_numpy(s.transpose(0, 3, 1, 2)) for s in srcs],
+            tgt,
+            [torch.from_numpy(m) for m in masks],
+            [torch.from_numpy(p.transpose(0, 3, 1, 2)) for p in poses],
+            torch.from_numpy(qe),
+        )
+
+    model = DeformableTransformer(
+        d_model=C, n_heads=heads, num_encoder_layers=2, num_decoder_layers=2,
+        dim_feedforward=64, num_feature_levels=L, with_box_refine=True,
+    )
+    jsrcs = [jnp.asarray(s) for s in srcs]
+    jposes = [jnp.asarray(p) for p in poses]
+    jmasks = [jnp.asarray(m) for m in masks]
+    variables = model.init(jax.random.PRNGKey(0), jsrcs, jmasks, jposes,
+                           jnp.asarray(qe))
+    sd = torch_sd(ref, "transformer.")
+    # the bbox heads live at SOC top level in the checkpoint layout
+    for i, m in enumerate(bbox_embed):
+        sd.update(torch_sd(m, f"bbox_embed.{i}."))
+    variables, _ = convert_submodule(variables, sd, flax_prefix="transformer")
+
+    hs, mem, init_ref, inter_ref = model.apply(
+        variables, jsrcs, jmasks, jposes, jnp.asarray(qe)
+    )
+    allclose(np.asarray(init_ref), ref_init.numpy(), msg="init_reference")
+    allclose(np.asarray(hs), ref_hs.numpy(), rtol=1e-3, atol=1e-3, msg="hs")
+    allclose(np.asarray(inter_ref), ref_inter.numpy(), rtol=1e-3, atol=1e-3,
+             msg="inter_references")
+    for lvl in range(L - 1):
+        allclose(np.asarray(mem[lvl]).transpose(0, 3, 1, 2),
+                 ref_mem[lvl].numpy(), rtol=1e-3, atol=1e-3,
+                 msg=f"memory level {lvl}")
+
+
+# ------------------------------------------------------- FPN decoder
+
+
+def test_fpn_spatial_decoder_vs_reference():
+    from models.segmentation import FPNSpatialDecoder as RefFPN
+    from neurips2023_soc_tpu.models.segmentation import FPNSpatialDecoder
+
+    seed_all(0)
+    C = 128
+    fpn_dims = [C, C, 24]
+    ref = RefFPN(C, fpn_dims, mask_kernels_dim=8).eval()
+
+    rng = np.random.RandomState(4)
+    B = 2
+    x = rng.randn(B, 2, 3, C).astype(np.float32)
+    feats = [
+        rng.randn(B, 4, 6, C).astype(np.float32),
+        rng.randn(B, 8, 12, C).astype(np.float32),
+        rng.randn(B, 16, 24, 24).astype(np.float32),
+    ]
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            [torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats],
+        ).numpy()
+
+    model = FPNSpatialDecoder(C, fpn_dims, 8)
+    jx = jnp.asarray(x)
+    jf = [jnp.asarray(f) for f in feats]
+    variables = model.init(jax.random.PRNGKey(0), jx, jf)
+    variables, _ = convert_submodule(variables, torch_sd(ref, "spatial_decoder."),
+                                     flax_prefix="spatial_decoder")
+    mine = np.asarray(model.apply(variables, jx, jf))
+    allclose(mine.transpose(0, 3, 1, 2), ref_out, rtol=1e-3, atol=1e-3,
+             msg="FPN spatial decoder")
