@@ -1,10 +1,11 @@
 """Hungarian matcher, TPU-native (reference models/matcher.py:12-227).
 
 Costs are computed on device inside jit over *static* padded instance slots;
-only the tiny (B, Nq, N) cost matrix crosses to the host, where scipy's
-linear_sum_assignment runs in a `jax.pure_callback` (SURVEY.md §7 step 7 —
-B and N are tiny so the callback is negligible; revisit with an on-device
-auction solver only if it ever profiles hot).
+the assignment itself is solved on device by an exact shortest-augmenting-path
+LAP solver (`lsa_on_device`, the same algorithm as scipy's
+linear_sum_assignment) — nothing crosses to the host, which the axon TPU
+runtime requires (no host callbacks) and which keeps the whole train step one
+jitted program.
 
 Static target layout (built by the collators):
   masks:    (T, B, N, H, W)  binary, model-input resolution
@@ -119,22 +120,106 @@ def compute_cost_matrix(
     return C
 
 
-def _host_lsa(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
-    """Host-side scipy assignment. cost (B, Nq, N); valid (B, N)."""
-    from scipy.optimize import linear_sum_assignment
+_UNVISITED = jnp.float32(1e30)
 
-    B, Nq, N = cost.shape
-    out = np.full((B, N), -1, np.int64)
-    for b in range(B):
-        cols = np.nonzero(valid[b])[0]
-        if len(cols) == 0:
-            continue
-        c = cost[b][:, cols]
-        c = np.nan_to_num(c, nan=BIG, posinf=BIG, neginf=-BIG)
-        rows, col_idx = linear_sum_assignment(c)
-        for r, j in zip(rows, col_idx):
-            out[b, cols[j]] = r
-    return out.astype(np.int32)
+
+def _lsa_single(C: jnp.ndarray) -> jnp.ndarray:
+    """Exact rectangular linear sum assignment, fully on device.
+
+    C: (N, M) float32 cost with N <= M rows to assign. Returns (N,) int32 —
+    the column assigned to each row. Direct implementation of the
+    shortest-augmenting-path algorithm (Crouse 2016), the same algorithm as
+    scipy.optimize.linear_sum_assignment (which the reference calls on the CPU
+    at models/matcher.py:103-109); the column scan is vectorized with masked
+    min-reductions, the augmentation chains are lax.while_loops.
+    """
+    N, M = C.shape
+    C = C.astype(jnp.float32)
+
+    def augment_row(cur_row, state):
+        u, v, col4row, row4col = state
+
+        # --- Dijkstra over alternating paths from cur_row -------------
+        def dij_cond(s):
+            return s[0] == -1
+
+        def dij_body(s):
+            sink, i, min_val, SR, SC, spc, path = s
+            SR = SR.at[i].set(True)
+            cand = min_val + C[i] - u[i] - v  # (M,)
+            better = (cand < spc) & ~SC
+            spc = jnp.where(better, cand, spc)
+            path = jnp.where(better, i, path)
+            masked = jnp.where(SC, _UNVISITED, spc)
+            lowest = jnp.min(masked)
+            # among equal minima prefer an unassigned column (scipy tie-break;
+            # guarantees progress, any choice is still exact)
+            prefer = (masked <= lowest) & (row4col == -1)
+            j = jnp.where(jnp.any(prefer), jnp.argmax(prefer),
+                          jnp.argmin(masked)).astype(jnp.int32)
+            SC = SC.at[j].set(True)
+            hit_free = row4col[j] == -1
+            sink = jnp.where(hit_free, j, jnp.int32(-1))
+            i = jnp.where(hit_free, i, row4col[j])
+            return sink, i, lowest, SR, SC, spc, path
+
+        sink, _, min_val, SR, SC, spc, path = jax.lax.while_loop(
+            dij_cond, dij_body,
+            (jnp.int32(-1), jnp.int32(cur_row), jnp.float32(0.0),
+             jnp.zeros((N,), bool), jnp.zeros((M,), bool),
+             jnp.full((M,), _UNVISITED), jnp.zeros((M,), jnp.int32)),
+        )
+
+        # --- dual updates ---------------------------------------------
+        u = u.at[cur_row].add(min_val)
+        spc_at_row_col = spc[jnp.clip(col4row, 0)]  # (N,)
+        u = jnp.where(
+            SR & (jnp.arange(N) != cur_row), u + min_val - spc_at_row_col, u
+        )
+        v = jnp.where(SC, v - (min_val - spc), v)
+
+        # --- augment along the found path ------------------------------
+        def aug_cond(s):
+            return ~s[0]
+
+        def aug_body(s):
+            _, sink, col4row, row4col = s
+            i = path[sink]
+            row4col = row4col.at[sink].set(i)
+            nxt = col4row[i]
+            col4row = col4row.at[i].set(sink)
+            return i == cur_row, nxt, col4row, row4col
+
+        _, _, col4row, row4col = jax.lax.while_loop(
+            aug_cond, aug_body,
+            (jnp.bool_(False), sink, col4row, row4col),
+        )
+        return u, v, col4row, row4col
+
+    init = (
+        jnp.zeros((N,), jnp.float32),
+        jnp.zeros((M,), jnp.float32),
+        jnp.full((N,), -1, jnp.int32),
+        jnp.full((M,), -1, jnp.int32),
+    )
+    _, _, col4row, _ = jax.lax.fori_loop(0, N, augment_row, init)
+    return col4row
+
+
+def lsa_on_device(C: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Batched exact assignment. C: (B, Nq, N) query-by-instance costs;
+    valid: (B, N). Returns (B, N) int32 query per instance slot, -1 on
+    invalid slots.
+
+    Invalid columns are zeroed (not BIG) before solving: a per-column-constant
+    cost is assignment-indifferent, and BIG-scale (1e8) entries would wreck
+    the float32 dual updates (catastrophic cancellation quantizes real costs
+    by O(BIG * eps) ≈ 8 — observed to produce suboptimal matches)."""
+    C = jnp.clip(jnp.nan_to_num(C.astype(jnp.float32)), -1e6, 1e6)
+    C = jnp.where(valid[:, None, :], C, 0.0)
+    # rows must be the small side: solve over C^T (instances assign queries)
+    out = jax.vmap(_lsa_single)(jnp.swapaxes(C, 1, 2))  # (B, N)
+    return jnp.where(valid, out, -1)
 
 
 def hungarian_match(
@@ -157,54 +242,7 @@ def hungarian_match(
         # Every reference training workload annotates exactly one instance per
         # sample (the referred object — see e.g.
         # refer_youtube_vos_dataset.py:210 `frame_masks[ref_obj_idx].unsqueeze(0)`),
-        # so assignment degenerates to an exact argmin. This also keeps the
-        # whole train step on-device: the axon TPU runtime does not support
-        # host callbacks.
+        # so assignment degenerates to an exact argmin.
         q = jnp.argmin(C[..., 0], axis=-1).astype(jnp.int32)  # (B,)
         return jnp.where(valid[:, 0], q, -1)[:, None]
-    if N <= 8:
-        return _greedy_then_refine(C, valid)
-    result_shape = jax.ShapeDtypeStruct((B, N), jnp.int32)
-    return jax.pure_callback(_host_lsa, result_shape, C, valid)
-
-
-def _greedy_then_refine(C: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """On-device exact-for-small-N assignment by sequential min extraction
-    with one 2-opt refinement sweep. For the tiny N (<=8) that appear in the
-    reference's workloads this matches scipy on all but adversarial ties."""
-    B, Nq, N = C.shape
-    Cm = jnp.where(valid[:, None, :], C, BIG)
-
-    def assign_one(carry, j):
-        taken, out = carry  # taken: (B, Nq) bool
-        col = Cm[:, :, j] + jnp.where(taken, BIG, 0.0)
-        q = jnp.argmin(col, axis=1)  # (B,)
-        taken = taken | jax.nn.one_hot(q, Nq, dtype=bool)
-        out = out.at[:, j].set(q.astype(jnp.int32))
-        return (taken, out), None
-
-    init = (jnp.zeros((B, Nq), bool), jnp.zeros((B, N), jnp.int32))
-    (taken, out), _ = jax.lax.scan(assign_one, init, jnp.arange(N))
-
-    # 2-opt pairwise swap refinement
-    def swap_pass(out, _):
-        def try_swap(out, jk):
-            j, k = jk
-            qj = out[:, j]
-            qk = out[:, k]
-            cur = jnp.take_along_axis(Cm[:, :, j], qj[:, None], 1)[:, 0] + \
-                  jnp.take_along_axis(Cm[:, :, k], qk[:, None], 1)[:, 0]
-            alt = jnp.take_along_axis(Cm[:, :, j], qk[:, None], 1)[:, 0] + \
-                  jnp.take_along_axis(Cm[:, :, k], qj[:, None], 1)[:, 0]
-            do = alt < cur
-            new_j = jnp.where(do, qk, qj)
-            new_k = jnp.where(do, qj, qk)
-            out = out.at[:, j].set(new_j).at[:, k].set(new_k)
-            return out, None
-
-        pairs = jnp.asarray([(j, k) for j in range(N) for k in range(j + 1, N)])
-        out, _ = jax.lax.scan(try_swap, out, pairs)
-        return out, None
-
-    out, _ = jax.lax.scan(swap_pass, out, jnp.arange(2))
-    return jnp.where(valid, out, -1)
+    return lsa_on_device(C, valid)
