@@ -31,7 +31,7 @@ def main():
         backbone_name=backbone, d_model=256, num_queries=20,
         dim_feedforward=2048, enc_layers=3, dec_layers=3,
         voc_enc_layers=3, voc_dec_layers=3, text_encoder_type="roberta-base",
-        msda_impl=os.environ.get("BENCH_MSDA", "xla"),
+        msda_impl=os.environ.get("BENCH_MSDA", "auto"),
         swin_attn_impl=os.environ.get("BENCH_SWIN_ATTN", "xla"),
         dtype=dtype,
     )

@@ -43,7 +43,7 @@ def build_model(config):
         vl_loss=config.vl_loss,
         aux_loss=config.aux_loss,
         use_remat=config.get("use_checkpoint", False),
-        msda_impl=config.get("msda_impl", "xla"),
+        msda_impl=config.get("msda_impl", "auto"),
         swin_attn_impl=config.get("swin_attn_impl", "xla"),
         dtype=dtype,
     )

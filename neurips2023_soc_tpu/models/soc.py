@@ -66,7 +66,7 @@ class SOC(nn.Module):
     vl_loss: bool = True
     aux_loss: bool = True
     use_remat: bool = False
-    msda_impl: str = "xla"
+    msda_impl: str = "auto"
     swin_attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 

@@ -168,15 +168,22 @@ def ms_deform_attn(
     impl: str = "xla",
 ) -> jnp.ndarray:
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if impl == "auto":
+        # the Pallas kernel wins ~25% end-to-end on a single TPU chip
+        # (BENCH_NOTES.md); under a multi-device pjit the XLA formulation is
+        # used until the kernel is taught SPMD partitioning, and on CPU the
+        # XLA path is both the oracle and the faster interpreter
+        impl = (
+            "pallas"
+            if jax.default_backend() != "cpu" and jax.device_count() == 1
+            else "xla"
+        )
     if impl == "pallas":
-        try:
-            from .pallas_msda import ms_deform_attn_pallas
+        from .pallas_msda import ms_deform_attn_pallas_op
 
-            return ms_deform_attn_pallas(
-                value, spatial_shapes, sampling_locations, attention_weights
-            )
-        except ImportError:
-            pass  # kernel not built yet -> XLA flat-gather path
+        return ms_deform_attn_pallas_op(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
     # remat: recompute the gather in the backward pass instead of saving the
     # multi-GB gathered tensor as a residual (the analog of the reference's
     # custom Function not saving im2col buffers)

@@ -1,0 +1,371 @@
+"""Pallas TPU kernel for multi-scale deformable attention.
+
+The TPU-native replacement for the reference's CUDA `ms_deform_im2col`
+(reference models/ops/src/cuda/ms_deform_im2col_cuda.cuh:238; python oracle at
+models/ops/functions/ms_deform_attn_func.py:41-61). Semantics identical to
+`ms_deform_attn_xla` (ops/ms_deform_attn.py): bilinear zero-padding sampling
+of L flattened levels at per-(query, head) locations, reduced with the given
+attention weights.
+
+Why a kernel: the XLA path lowers each sample to a one-row HBM gather and the
+v5e sustains only ~160M gather-rows/s — the SOC encoder is bound by it
+(~60 ms/layer at 360x640, T=16). Mosaic cannot lower a large dynamic gather
+either (its backend crashes for gathers wider than one 128-lane register or
+on sub-32-bit dtypes), so this kernel reformulates the sample as an
+*in-register* lane gather:
+
+  * per level, a patch-table row holds the whole 2x2 bilinear neighborhood
+    [v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)] (4*D channels), so one gathered
+    lane resolves one sample;
+  * the table is re-tiled into spatial 8x16 tiles and transposed to
+    (tile, channels, 128): channels on sublanes, the tile's 128 anchor
+    positions on lanes — `jnp.take_along_axis(tile, idx, axis=1)` is the one
+    dynamic-gather shape Mosaic compiles (32-bit, 128 lanes);
+  * bf16 values are packed two-channels-per-int32 (even channel in the low
+    half: Mosaic's `bitcast` un-packs int32 sublane r into bf16 sublanes
+    2r/2r+1, restoring channel order), halving gather work and table traffic;
+    the tile-selection mask is applied with an int32 `where` — exact, since
+    selection never rounds — and one bitcast per sample group recovers bf16;
+  * queries are statically permuted into the same tile-major order, so the
+    128 queries of a block are spatially compact and their p-th samples land
+    in very few tiles (deformable offsets are local in practice); the kernel
+    loops over each block's actual 2D tile bounding box
+
+        for ty, tx in [tymin..tymax] x [txmin..txmax]:
+            part += where(sample_tile == (ty, tx), gather(tile, lane), 0)
+
+    which is *exact* for arbitrary offsets — spread-out samples just visit
+    more tiles;
+  * anchor/lane indices and bilinear slot weights are derived from the raw
+    sampling coordinates *inside* the kernel (vectorized over all blocks of
+    a grid step), so the XLA side only transposes coordinates into
+    (B*M, L, P, Lq) layout and reduces per-block tile bounds into SMEM — no
+    multi-hundred-MB index or weight tensors are materialized.
+
+Kernel-layout glossary:
+  table  (B*M, NT, 4*D, 128) f32 — or (B*M, NT, 2*D, 128) i32 when packed;
+         NT = sum_l ceil(H_l/8) * ceil(W_l/16)
+  locx/locy/att (B*M, L, P, NQB, 128) f32   tile-major-permuted, edge-padded
+  bounds (B*M, L, P, NQB, 4) i32  [tymin, tynum, txmin, txnum] per block
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SpatialShapes = Tuple[Tuple[int, int], ...]
+
+TY, TX = 8, 16  # spatial tile: 8 rows x 16 cols = 128 lanes
+LANES = TY * TX
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _level_geoms(spatial_shapes: SpatialShapes):
+    """[(H, W, nty, ntx, tile_base)] and the total tile count."""
+    geoms, base = [], 0
+    for h, w in spatial_shapes:
+        nty, ntx = _cdiv(h, TY), _cdiv(w, TX)
+        geoms.append((h, w, nty, ntx, base))
+        base += nty * ntx
+    return geoms, base
+
+
+@functools.lru_cache(maxsize=None)
+def _tile_major_perm(spatial_shapes: SpatialShapes):
+    """Static query permutation: each level's queries sorted by (tile, lane),
+    then padded (by repeating the level's last query) to a 128 multiple so no
+    query block straddles two levels — a straddling block's samples would
+    span a whole level and defeat the kernel's tile-locality fast path.
+
+    Returns (perm, inv): perm has length sum_l ceil(S_l/128)*128 and indexes
+    into the S real queries (with duplicates as padding); inv has length S
+    and maps each real query to its (first) slot in the permuted order.
+    """
+    perm, inv = [], []
+    start = 0
+    for h, w, nty, ntx, _ in _level_geoms(spatial_shapes)[0]:
+        y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        key = ((y // TY) * ntx + x // TX) * LANES + (y % TY) * TX + x % TX
+        p = np.argsort(key.ravel(), kind="stable")
+        ip = np.empty_like(p)
+        ip[p] = np.arange(h * w)
+        inv.append(ip + sum(len(q) for q in perm))
+        pad = _cdiv(h * w, LANES) * LANES - h * w
+        p = np.concatenate([p, np.full(pad, p[-1])])
+        perm.append(p + start)
+        start += h * w
+    perm = np.concatenate(perm)
+    inv = np.concatenate(inv)
+    # numpy (not jnp): results are lru_cached and must not capture a trace
+    return perm.astype(np.int32), inv.astype(np.int32)
+
+
+def _build_tables(value: jnp.ndarray, spatial_shapes: SpatialShapes,
+                  packed: bool):
+    """(B, S, M, D) -> tiled transposed patch tables.
+
+    Row s of a level's patch table is the 2x2 neighborhood of anchor s
+    (rolls stay within the level, and anchors are clipped to [0, W-2] /
+    [0, H-2] so wrapped rows are never addressed with nonzero weight).
+    Returns (B*M, NT, 4D, LANES) f32, or (B*M, NT, 2D, LANES) int32 holding
+    bf16 channel pairs (even channel in the low 16 bits) when `packed`.
+    """
+    B, S, M, D = value.shape
+    geoms, _ = _level_geoms(spatial_shapes)
+    dt = jnp.bfloat16 if packed else jnp.float32
+    vh = jnp.transpose(value, (0, 2, 1, 3)).astype(dt)  # (B,M,S,D)
+    start = 0
+    tables = []
+    for (H, W, nty, ntx, _) in geoms:
+        v = jax.lax.dynamic_slice_in_dim(vh, start, H * W, axis=2)
+        start += H * W
+        t = jnp.concatenate(
+            [v, jnp.roll(v, -1, 2), jnp.roll(v, -W, 2), jnp.roll(v, -(W + 1), 2)],
+            axis=-1,
+        )  # (B, M, H*W, 4D)
+        C = 4 * D
+        if packed:
+            u = jax.lax.bitcast_convert_type(t, jnp.uint16).astype(jnp.uint32)
+            t = (u[..., 0::2] | (u[..., 1::2] << 16)).astype(jnp.int32)
+            C = 2 * D
+        t = t.reshape(B, M, H, W, C)
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, nty * TY - H), (0, ntx * TX - W), (0, 0)))
+        t = t.reshape(B, M, nty, TY, ntx, TX, C)
+        t = jnp.transpose(t, (0, 1, 2, 4, 6, 3, 5))  # (B,M,nty,ntx,C,TY,TX)
+        tables.append(t.reshape(B * M, nty * ntx, C, LANES))
+    return jnp.concatenate(tables, axis=1)
+
+
+def _anchors(x, y, H: int, W: int):
+    """Shared anchor math (identical, op-by-op, to the XLA path so both
+    implementations make bit-identical floor/clip decisions in f32)."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    ax = jnp.clip(x0i, 0, max(W - 2, 0))
+    ay = jnp.clip(y0i, 0, max(H - 2, 0))
+    return ax, ay, fx, fy, x0i, y0i
+
+
+def _slot_w(f, a, q0):
+    """(w_k for k=0,1): bilinear weight of patch slot a+k along one axis."""
+    out = []
+    for k in (0, 1):
+        qq = a + k
+        out.append(jnp.where(qq == q0, 1.0 - f, jnp.where(qq == q0 + 1, f, 0.0)))
+    return out
+
+
+def _transpose_inputs(sampling_locations, attention_weights, spatial_shapes,
+                      nqb):
+    """Permuted coords/weights into kernel layout + per-block tile bounds."""
+    B, Lq, M, L, P, _ = sampling_locations.shape
+    geoms, _ = _level_geoms(spatial_shapes)
+    loc = sampling_locations.astype(jnp.float32)
+    att = attention_weights.astype(jnp.float32)
+    if Lq == sum(h * w for h, w, *_ in geoms):
+        # encoder self-attention: queries ARE the level positions — reorder
+        # them tile-major so each 128-query block is spatially compact.
+        # Flatten trailing dims first: a plain 2D row gather keeps XLA from
+        # fusing the take into a transposed layout that overflows VMEM.
+        perm, _ = _tile_major_perm(spatial_shapes)
+        loc = jnp.take(loc.reshape(B, Lq, -1), perm, axis=1).reshape(
+            B, len(perm), M, L, P, 2)
+        att = jnp.take(att.reshape(B, Lq, -1), perm, axis=1).reshape(
+            B, len(perm), M, L, P)
+    lqw = loc.shape[1]
+
+    def to_kernel(a):  # (B, lqw, M, L, P) -> (BM, L, P, nqb, 128) edge-padded
+        a = jnp.transpose(a, (0, 2, 3, 4, 1)).reshape(B * M, L, P, lqw)
+        a = jnp.pad(a, ((0, 0),) * 3 + ((0, nqb * LANES - lqw),), mode="edge")
+        return a.reshape(B * M, L, P, nqb, LANES)
+
+    locx = to_kernel(loc[..., 0])
+    locy = to_kernel(loc[..., 1])
+    attk = to_kernel(att)
+
+    bounds_l = []
+    for l, (H, W, nty, ntx, _) in enumerate(geoms):
+        x = locx[:, l] * W - 0.5  # (BM, P, nqb, 128)
+        y = locy[:, l] * H - 0.5
+        ax, ay, *_ = _anchors(x, y, H, W)
+        ty, tx = ay // TY, ax // TX
+        bounds_l.append(jnp.stack(
+            [ty.min(-1), ty.max(-1) - ty.min(-1) + 1,
+             tx.min(-1), tx.max(-1) - tx.min(-1) + 1], axis=-1))
+    bounds = jnp.stack(bounds_l, 1).astype(jnp.int32)  # (BM, L, P, nqb, 4)
+    return locx, locy, attk, bounds
+
+
+def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool):
+    CR = 2 * D if packed else 4 * D  # gathered table rows per tile
+
+    def kernel(bounds_ref, t_ref, locx_ref, locy_ref, att_ref, o_ref):
+        qs = pl.program_id(1)
+        zero = jnp.zeros((CR, LANES), jnp.int32 if packed else jnp.float32)
+
+        # anchor math vectorized over all qpb blocks of this grid step
+        lov_a, tyv_a, txv_a, w4_a = [], [], [], []
+        for l, (H, W, nty, ntx, base) in enumerate(geoms):
+            for p in range(P):
+                x = locx_ref[0, l, p] * W - 0.5  # (qpb, 128)
+                y = locy_ref[0, l, p] * H - 0.5
+                ax, ay, fx, fy, x0i, y0i = _anchors(x, y, H, W)
+                tyv_a.append(ay // TY)
+                txv_a.append(ax // TX)
+                lov_a.append((ay % TY) * TX + ax % TX)
+                wx0, wx1 = _slot_w(fx, ax, x0i)
+                wy0, wy1 = _slot_w(fy, ay, y0i)
+                aw = att_ref[0, l, p]
+                w4 = jnp.stack(
+                    [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], 1
+                ) * aw[:, None]  # (qpb, 4, 128)
+                w4_a.append(w4.astype(jnp.bfloat16) if packed else w4)
+
+        for qb in range(qpb):  # static unroll: value indexing must be static
+            qa = qs * qpb + qb
+            acc = jnp.zeros((D, LANES), jnp.float32)
+            for g, (l, (H, W, nty, ntx, base)) in enumerate(
+                    (l, geom) for l, geom in enumerate(geoms) for _ in range(P)):
+                p = g % P
+                tyv = tyv_a[g][qb][None]  # (1,128)
+                txv = txv_a[g][qb][None]
+                LO = jnp.broadcast_to(lov_a[g][qb][None], (CR, LANES))
+                tym = bounds_ref[0, l, p, qa, 0]
+                tyn = bounds_ref[0, l, p, qa, 1]
+                txm = bounds_ref[0, l, p, qa, 2]
+                txn = bounds_ref[0, l, p, qa, 3]
+
+                def ybody(ky, a, tym=tym, txm=txm, txn=txn, ntx=ntx,
+                          base=base, LO=LO, tyv=tyv, txv=txv):
+                    ty = tym + ky
+
+                    def xbody(kx, a):
+                        tx = txm + kx
+                        t = base + ty * ntx + tx
+                        cand = jnp.take_along_axis(t_ref[0, t], LO, axis=1)
+                        m = (tyv == ty) & (txv == tx)  # (1,128)
+                        return a + jnp.where(m, cand, zero)
+
+                    return jax.lax.fori_loop(0, txn, xbody, a)
+
+                part = jax.lax.fori_loop(0, tyn, ybody, zero)
+                if packed:
+                    part = pltpu.bitcast(part, jnp.bfloat16)  # (4D, 128)
+                w4 = w4_a[g][qb]  # (4,128)
+                acc = acc + (part.reshape(4, D, LANES)
+                             * w4[:, None, :]).astype(jnp.float32).sum(0)
+            o_ref[0, qb] = acc
+
+    return kernel
+
+
+def ms_deform_attn_pallas(
+    value: jnp.ndarray,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Drop-in replacement for `ms_deform_attn_xla` (same shapes/semantics).
+
+    bf16 values take the packed path (bf16 table, exactly the XLA path's
+    sampling precision); other dtypes sample from an f32 table.
+    """
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    # pltpu.bitcast is TPU-only; interpret mode uses the f32 table
+    packed = value.dtype == jnp.bfloat16 and not interpret
+
+    geoms, nt = _level_geoms(spatial_shapes)
+    permuted = Lq == sum(h * w for h, w, *_ in geoms)
+    lqw = len(_tile_major_perm(spatial_shapes)[0]) if permuted else Lq
+    nqb_raw = _cdiv(lqw, LANES)
+    # q-blocks per grid step: bound per-step VMEM and the statically-unrolled
+    # kernel body while keeping DMAs chunky
+    qpb = min(8, nqb_raw)
+    nqb = _cdiv(nqb_raw, qpb) * qpb
+    qs_steps = nqb // qpb
+
+    table = _build_tables(value, spatial_shapes, packed)
+    locx, locy, attk, bounds = _transpose_inputs(
+        sampling_locations, attention_weights, spatial_shapes, nqb)
+
+    BM = B * M
+    CR = 2 * D if packed else 4 * D
+    kernel = _make_kernel(tuple(geoms), L, P, D, qpb, packed)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((BM, nqb, D, LANES), jnp.float32),
+        grid=(BM, qs_steps),
+        in_specs=[
+            pl.BlockSpec((1, L, P, nqb, 4), lambda b, q: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nt, CR, LANES), lambda b, q: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P, qpb, LANES), lambda b, q: (b, 0, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P, qpb, LANES), lambda b, q: (b, 0, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P, qpb, LANES), lambda b, q: (b, 0, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, qpb, D, LANES), lambda b, q: (b, q, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(bounds, table, locx, locy, attk)
+
+    # (BM, nqb, D, 128) -> (B, lqw, M*D) -> un-permute (and un-pad) queries
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(BM, D, nqb * LANES)
+    out = out[:, :, :lqw].reshape(B, M, D, lqw)
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(B, lqw, M * D)
+    if permuted:
+        out = jnp.take(out, _tile_major_perm(spatial_shapes)[1], axis=1)
+    return out.astype(value.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_pallas_op(value, spatial_shapes, sampling_locations,
+                             attention_weights):
+    """custom_vjp wrapper: Pallas forward, XLA-autodiff backward.
+
+    The backward of the reference CUDA op is a scatter-add
+    (ms_deform_im2col_cuda.cuh:302-1030); here gradients recompute through
+    the XLA gather formulation (remat-style, like the forward's XLA path),
+    so training works regardless of Mosaic's missing dynamic-scatter.
+    """
+    return ms_deform_attn_pallas(
+        value, spatial_shapes, sampling_locations, attention_weights)
+
+
+def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    out = ms_deform_attn_pallas(
+        value, spatial_shapes, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _bwd(spatial_shapes, res, g):
+    from .ms_deform_attn import ms_deform_attn_xla
+
+    value, loc, attn = res
+    _, vjp = jax.vjp(
+        lambda v, sl, a: ms_deform_attn_xla(v, spatial_shapes, sl, a),
+        value, loc, attn)
+    return vjp(g)
+
+
+ms_deform_attn_pallas_op.defvjp(_fwd, _bwd)
