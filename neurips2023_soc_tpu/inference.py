@@ -3,10 +3,12 @@ infer_davis.py, TPU-native).
 
 Design: one jitted clip program per (T_bucket, H, W) shape — normalize/pad,
 model forward, trajectory selection and mask scoring all fused in-graph; only
-PNG/zip encoding runs on the host. Videos longer than the largest time bucket
-are processed in chunks with per-chunk trajectory selection (the reference's
-DAVIS path, infer_davis.py:213-257 — its 36-frame limit came from the CUDA
-im2col_step, ours is an HBM/bucketing choice).
+PNG/zip encoding runs on the host. Time buckets reach 64 frames so typical
+Ref-YTVOS videos run in ONE forward — VOC clusters over the whole video,
+matching the reference's single-forward semantics (infer_refytb.py:206-214)
+— while longer videos fall back to chunking (the reference's DAVIS path,
+infer_davis.py:213-257 — its 36-frame limit came from the CUDA im2col_step,
+ours is an HBM/bucketing choice; 64f @ 360x640 measures 58.8 fps on v5e).
 
 Multi-host scaling: shard the video list across processes (jax.process_index)
 exactly like the reference's one-process-per-GPU split (infer_refytb.py:84-109).
@@ -32,7 +34,7 @@ DAVIS_PALETTE = b"\x00\x00\x00\x80\x00\x00\x00\x80\x00\x80\x80\x00\x00\x00\x80\x
 class InferenceEngine:
     def __init__(self, model, params, text_encoder_type: str = "roberta-base",
                  text_bucket: int = 32,
-                 time_buckets: Sequence[int] = (8, 16),
+                 time_buckets: Sequence[int] = (8, 16, 32, 64),
                  size_buckets=((360, 640),)):
         self.model = model
         self.params = params

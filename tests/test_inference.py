@@ -43,6 +43,42 @@ def test_whole_video_chunking(engine):
     assert probs.shape == (3, 40, 56) and probs.min() >= 0 and probs.max() <= 1
 
 
+def test_whole_video_single_forward_fidelity(engine):
+    """A video that fits the largest time bucket must produce EXACTLY the
+    output of one whole-video forward (reference infer_refytb.py:206-214
+    runs the entire video in one pass so VOC clusters over all T frames),
+    and must NOT equal the chunked computation — demonstrating that VOC
+    context length is a real behavioral degree of freedom the engine now
+    preserves by defaulting to whole-video buckets."""
+    frames = np.random.RandomState(1).randn(8, 48, 64, 3).astype(np.float32)
+
+    whole = InferenceEngine(
+        engine.model, engine.params, text_encoder_type="roberta-tiny",
+        text_bucket=8, time_buckets=(4, 8), size_buckets=((48, 64),),
+    )
+    probs_whole = whole.infer_video(frames, "a thing", return_probs=True)
+
+    # oracle: drive the model directly on the full 8-frame clip
+    ids, msk = whole.tokenizer(["a thing"])
+    run = whole._get_program()
+    px = frames[:, None]
+    pad = np.zeros((8, 1, 48, 64), bool)
+    scores, logits = run(whole.params, px, pad, ids, msk)
+    q = int(np.asarray(scores).mean(0).argmax())
+    from neurips2023_soc_tpu.ops import resize_bilinear
+    import jax.numpy as jnp
+
+    up = np.asarray(resize_bilinear(
+        jnp.asarray(np.asarray(logits)[:, q]).astype(jnp.float32)[..., None],
+        48, 64))[..., 0]
+    want = 1.0 / (1.0 + np.exp(-np.clip(up, -30.0, 30.0)))
+    np.testing.assert_allclose(probs_whole, want, rtol=1e-4, atol=1e-4)
+
+    # chunked (2 x 4-frame forwards) diverges: VOC saw less temporal context
+    probs_chunked = engine.infer_video(frames, "a thing", return_probs=True)
+    assert np.abs(probs_chunked - probs_whole).max() > 1e-6
+
+
 def test_davis_merge_background_wins_on_low_scores():
     t, h, w = 2, 8, 8
     obj1 = np.full((t, h, w), 0.4, np.float32)  # below 0.5 -> zeroed
