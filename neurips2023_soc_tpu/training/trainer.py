@@ -52,6 +52,12 @@ class Trainer:
             n = max(d for d in range(1, n_dev + 1) if bs % d == 0 or d == 1)
             while bs % n != 0:
                 n -= 1
+            if n < n_dev:
+                print(
+                    f"WARNING: batch_size={bs} is not divisible by the "
+                    f"{n_dev} available devices — training on {n} device(s); "
+                    f"{n_dev - n} idle. Raise batch_size to a multiple of "
+                    f"{n_dev} to use the whole mesh.")
             mesh = make_mesh(shape=(n,), axis_names=("data",),
                              devices=jax.devices()[:n])
         self.mesh = mesh
@@ -126,35 +132,72 @@ class Trainer:
         )
         self._forward = make_forward_fn(model)
 
+    def _current_lr(self) -> float:
+        """Display lr after MultiStepLR drops (mirrors optimizer schedule)."""
+        step = int(self._state.step) if self._state is not None else 0
+        drops = sum(1 for m in self.milestones_steps if step >= m)
+        return float(self.config.lr) * (self.gamma ** drops)
+
     # ---------------- training ----------------
     def train(self):
+        """Per-step telemetry matches the reference's MetricLogger loop
+        (reference misc.py:327-379): window-smoothed loss/grad_norm, current
+        lr, step/data time split and ETA, epoch summary to log.txt. Setting
+        config.profile_steps=N wraps steps [1, N] of the first epoch in a
+        jax.profiler trace written under output_dir/profile."""
+        from ..utils.logging import MetricLogger, SmoothedValue, profile_trace
+
         print("Training started...")
         rng = jax.random.PRNGKey(self.config.seed + 1)
+        profile_steps = int(self.config.get("profile_steps", 0) or 0)
         for self.epoch in range(self.epoch, self.total_epochs):
             t_epoch = time.time()
             epoch_loss = 0.0
             n = 0
             log_every = 10
+            mlog = MetricLogger()
+            iter_time = SmoothedValue(fmt="{avg:.4f}")
+            data_time = SmoothedValue(fmt="{avg:.4f}")
+            end = time.perf_counter()
+            prof = None
             for i, batch in enumerate(self.train_batches(self.epoch)):
+                data_time.update(time.perf_counter() - end)
                 if self._state is None:
                     self.init_state(batch)
+                if profile_steps and self.epoch == 0 and i == 1:
+                    prof = profile_trace(str(self.output_dir / "profile"))
+                    prof.__enter__()
                 batch = shard_batch(self.mesh, batch)
                 rng, step_rng = jax.random.split(rng)
                 self._state, metrics = self._train_step(self._state, batch, step_rng)
-                loss = float(metrics["loss"])
+                loss = float(metrics["loss"])  # blocks: host sync per step
                 if not math.isfinite(loss):
                     print(f"Loss is {loss}, stopping training")
                     sys.exit(1)
+                if prof is not None and i == profile_steps:
+                    prof.__exit__(None, None, None)
+                    prof = None
                 epoch_loss += loss
                 n += 1
+                mlog.update(loss=loss, grad_norm=float(metrics["grad_norm"]),
+                            lr=self._current_lr())
+                iter_time.update(time.perf_counter() - end)
                 if i % log_every == 0:
-                    print(f"epoch {self.epoch} step {i}/{self.steps_per_epoch} "
-                          f"loss {loss:.4f} grad_norm {float(metrics['grad_norm']):.3f}")
+                    eta = int(iter_time.avg * max(self.steps_per_epoch - i, 0))
+                    print(f"Epoch: [{self.epoch}] [{i}/{self.steps_per_epoch}] "
+                          f"eta: {eta}s {mlog} "
+                          f"time: {iter_time} data: {data_time}", flush=True)
+                end = time.perf_counter()
+            if prof is not None:  # epoch shorter than profile_steps
+                prof.__exit__(None, None, None)
 
             log_stats = {
                 "epoch": self.epoch,
                 "train_loss": epoch_loss / max(n, 1),
                 "epoch_time_s": time.time() - t_epoch,
+                "step_time_s": iter_time.global_avg,
+                "data_time_s": data_time.global_avg,
+                "lr": self._current_lr(),
             }
 
             eval_metrics = {}
