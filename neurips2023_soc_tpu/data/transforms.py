@@ -68,32 +68,87 @@ def hflip_sample(frames, masks, boxes, text):
     return frames, masks, boxes, text
 
 
+def rgb_to_hsv(img: np.ndarray) -> np.ndarray:
+    """Vectorized RGB->HSV, H in degrees [0,360), S in [0,1], V = max channel.
+
+    Matches cv2.cvtColor(float32, COLOR_BGR2HSV) semantics up to the channel
+    ordering quirk the reference inherits (it feeds RGB arrays through a
+    BGR-labelled conversion — the conversion itself is order-symmetric for
+    S/V and only relabels hue, which is irrelevant for random jitter)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    mx = img.max(-1)
+    mn = img.min(-1)
+    diff = mx - mn
+    safe = np.where(diff > 0, diff, 1.0)
+    h = np.zeros_like(mx)
+    h = np.where(mx == r, (g - b) / safe % 6.0, h)
+    h = np.where((mx == g) & (mx != r), (b - r) / safe + 2.0, h)
+    h = np.where((mx == b) & (mx != r) & (mx != g), (r - g) / safe + 4.0, h)
+    h = np.where(diff > 0, h * 60.0, 0.0)
+    s = np.where(mx > 0, diff / np.where(mx > 0, mx, 1.0), 0.0)
+    return np.stack([h, s, mx], axis=-1)
+
+
+def hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    """Inverse of rgb_to_hsv (H degrees, S/V as above)."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h6 = (h % 360.0) / 60.0
+    c = v * s
+    x = c * (1.0 - np.abs(h6 % 2.0 - 1.0))
+    m = v - c
+    z = np.zeros_like(c)
+    i = np.floor(h6).astype(np.int32) % 6
+    rgb_by_sextant = np.stack([
+        np.stack([c, x, z], -1), np.stack([x, c, z], -1),
+        np.stack([z, c, x], -1), np.stack([z, x, c], -1),
+        np.stack([x, z, c], -1), np.stack([c, z, x], -1),
+    ])  # (6, ..., 3)
+    rgb = np.take_along_axis(
+        rgb_by_sextant, i[None, ..., None].repeat(3, -1), axis=0)[0]
+    return rgb + m[..., None]
+
+
+# RandomLightingNoise channel permutations (reference transforms.py:114-126).
+_LIGHTING_PERMS = ((0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1),
+                   (2, 1, 0))
+
+
 def photometric_distort(frames: List[np.ndarray], rng: random.Random):
-    """Brightness/contrast/saturation/hue jitter applied consistently over the
-    clip (reference transforms.py:17-43 PhotometricDistort)."""
-    out = [f.copy() for f in frames]
-    # brightness
-    if rng.random() < 0.5:
-        delta = rng.uniform(-32 / 255, 32 / 255)
-        out = [np.clip(f + delta, 0, 1) for f in out]
-    contrast_first = rng.random() < 0.5
-    def contrast(fs):
+    """Per-frame photometric distortion (reference transforms.py:17-43
+    PhotometricDistort): each frame independently gets brightness jitter,
+    contrast either before or after the HSV block (never both), saturation
+    and hue jitter in HSV space, and a random channel permutation
+    (RandomLightingNoise). The reference draws fresh randomness per frame
+    of the clip (its __call__ loops over frames), so no clip consistency."""
+    out = []
+    for f in frames:
+        img = f.astype(np.float32).copy()
+        # RandomBrightness(delta=32) on 0..255 scale (transforms.py:79-88)
         if rng.random() < 0.5:
-            alpha = rng.uniform(0.5, 1.5)
-            return [np.clip(f * alpha, 0, 1) for f in fs]
-        return fs
-    if contrast_first:
-        out = contrast(out)
-    # saturation
-    if rng.random() < 0.5:
-        alpha = rng.uniform(0.5, 1.5)
-        res = []
-        for f in out:
-            gray = f.mean(-1, keepdims=True)
-            res.append(np.clip(gray + (f - gray) * alpha, 0, 1))
-        out = res
-    if not contrast_first:
-        out = contrast(out)
+            img += rng.uniform(-32.0 / 255.0, 32.0 / 255.0)
+        # pd[:-1] (contrast first) vs pd[1:] (contrast last), transforms.py:35-39
+        contrast_first = rng.random() < 0.5
+        if contrast_first and rng.random() < 0.5:
+            img *= rng.uniform(0.5, 1.5)
+        hsv = rgb_to_hsv(np.clip(img, 0.0, 1.0))
+        # RandomSaturation (transforms.py:90-100)
+        if rng.random() < 0.5:
+            hsv[..., 1] *= rng.uniform(0.5, 1.5)
+        # RandomHue(delta=18) with wraparound (transforms.py:102-112)
+        if rng.random() < 0.5:
+            h = hsv[..., 0] + rng.uniform(-18.0, 18.0)
+            h = np.where(h > 360.0, h - 360.0, h)
+            h = np.where(h < 0.0, h + 360.0, h)
+            hsv[..., 0] = h
+        hsv[..., 1] = np.clip(hsv[..., 1], 0.0, 1.0)
+        img = hsv_to_rgb(hsv)
+        if not contrast_first and rng.random() < 0.5:
+            img *= rng.uniform(0.5, 1.5)
+        # RandomLightingNoise channel swap (transforms.py:114-126)
+        if rng.random() < 0.5:
+            perm = _LIGHTING_PERMS[rng.randrange(len(_LIGHTING_PERMS))]
+            img = img[..., perm]
+        out.append(np.clip(img, 0.0, 1.0).astype(np.float32))
     return out
 
 

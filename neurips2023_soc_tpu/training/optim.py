@@ -6,6 +6,17 @@ Groups by parameter path:
   backbone.*                 -> lr_backbone
   text_encoder.*             -> text_encoder_lr (or frozen)
   everything else            -> lr
+
+The joint trainer's extra "VLA" keyword split (reference
+jointtrainer.py:84-91: params with "VLA" in their name forced into the
+main-lr group and excluded from the backbone group) is intentionally NOT a
+separate code path here: in the reference model no parameter name contains
+the string "VLA" — the fusion modules are the attributes `vlf`/`lvf` on SOC
+(reference models/soc.py:120-121), so `"VLA" in n` never matches and the
+joint trainer degenerates to the same 3-group split as trainer.py:91-99.
+Our vlf/lvf fusion params land in the "main" group, which is exactly the
+behavior the reference's (dead) keyword was trying to guarantee;
+test_training.py::test_vla_fusion_params_in_main_group pins this.
 """
 from __future__ import annotations
 

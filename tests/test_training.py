@@ -115,3 +115,30 @@ def test_train_step_with_valid_indices():
                           has_valid_indices=True, donate=False)
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_vla_fusion_params_in_main_group(setup):
+    """Joint-trainer parity (reference jointtrainer.py:84-91): the VLA/MMF
+    fusion params must train at the main lr. The reference enforces this with
+    a '"VLA" in n' keyword that actually matches nothing (fusion modules are
+    named vlf/lvf, models/soc.py:120-121) — the effective behavior is simply
+    that vlf/lvf fall in the default group; we pin that here."""
+    from neurips2023_soc_tpu.training.optim import _label_tree
+
+    model, state, step, batches = setup
+    labels = _label_tree(state.params, freeze_text=True)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    seen = {"vlf": set(), "lvf": set(), "backbone": set(), "text": set()}
+    for path, label in flat:
+        joined = "/".join(str(getattr(p, "key", getattr(p, "name", "")))
+                          for p in path)
+        for key in ("vlf", "lvf"):
+            if f"/{key}" in joined or joined.startswith(key):
+                seen[key].add(label)
+        if "/backbone/" in joined:
+            seen["backbone"].add(label)
+        if "text_encoder" in joined:
+            seen["text"].add(label)
+    assert seen["vlf"] == {"main"} and seen["lvf"] == {"main"}
+    assert seen["backbone"] <= {"backbone", "frozen"} and seen["backbone"]
+    assert seen["text"] == {"frozen"}  # freeze_text=True
