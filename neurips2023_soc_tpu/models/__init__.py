@@ -31,6 +31,8 @@ def build_model(config):
         enc_n_points=dt["enc_n_points"],
         dec_n_points=dt["dec_n_points"],
         with_box_refine=config.with_box_refine,
+        two_stage=dt.get("two_stage", False),
+        two_stage_num_proposals=dt.get("two_stage_num_proposals", 300),
         rel_coord=config.rel_coord,
         mask_kernels_dim=config.mask_kernels_dim,
         controller_layers=config.controller_layers,

@@ -8,8 +8,22 @@ changes:
   * the CUDA MSDeformAttn is the `ops.ms_deform_attn` op;
   * per-layer box refinement runs under jit with `stop_gradient` standing in
     for `.detach()`.
-Two-stage mode is not implemented (disabled in every shipped config,
-configs/refer_youtube_vos.yaml:61).
+Two-stage mode (disabled in every shipped config,
+configs/refer_youtube_vos.yaml:61) follows the reference's
+`gen_encoder_output_proposals` + top-k proposal decoder init
+(reference models/deformable_transformer.py:77-122,172-190) with one
+necessary repair: the reference's own two-stage forward is broken as
+shipped — it indexes `self.decoder.class_embed[self.decoder.num_layers]`
+but `decoder.class_embed` is initialized to None (:359) and never assigned
+by SOC (models/soc.py:89-100 only assigns `decoder.bbox_embed`, and with
+only `num_layers` clones, one short of the index). We give the transformer
+dedicated encoder-stage heads (`enc_class_embed`/`enc_bbox_embed`, the
+`num_pred = dec_layers + 1` arrangement of upstream Deformable-DETR), and
+mask padded/out-of-frame proposals out of the top-k so their +inf logit
+coordinates can never be selected (the reference would propagate them into
+`sigmoid` -> 1.0 and `sin(inf)` -> NaN). The encoder-stage outputs are
+returned but, like the reference (models/soc.py:288 drops them), not fed
+to any loss.
 """
 from __future__ import annotations
 
@@ -189,6 +203,22 @@ def encoder_reference_points(
     return ref[:, :, None] * valid_ratios[:, None]  # (B, S, L, 2)
 
 
+def proposal_pos_embed(proposals: jnp.ndarray, d_model: int) -> jnp.ndarray:
+    """Sine embedding of (B, Nq, 4) unactivated proposal boxes ->
+    (B, Nq, 2*d_model) (reference models/deformable_transformer.py:77-90,
+    which hardcodes num_pos_feats=128 — consistent only at d_model=256;
+    we scale it so two-stage works at any width)."""
+    num_pos_feats = d_model // 2
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = 10000.0 ** (2.0 * jnp.floor(dim_t / 2.0) / num_pos_feats)
+    p = nn.sigmoid(proposals.astype(jnp.float32)) * (2.0 * math.pi)
+    pos = p[..., None] / dim_t  # (B, Nq, 4, F)
+    pos = jnp.stack(
+        [jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])], axis=-1
+    )  # (B, Nq, 4, F/2, 2)
+    return pos.reshape(pos.shape[0], pos.shape[1], -1)
+
+
 def compute_valid_ratios(masks: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """masks: per-level (B, H, W) True=pad -> (B, L, 2) xy valid fraction
     (reference models/deformable_transformer.py:123-130)."""
@@ -213,6 +243,9 @@ class DeformableTransformer(nn.Module):
     dec_n_points: int = 4
     enc_n_points: int = 4
     with_box_refine: bool = True
+    two_stage: bool = False
+    two_stage_num_proposals: int = 300
+    num_classes: int = 1  # encoder-stage class head width (two-stage only)
     impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
@@ -241,9 +274,26 @@ class DeformableTransformer(nn.Module):
             (self.num_feature_levels, self.d_model),
             jnp.float32,
         )
-        self.reference_points_proj = nn.Dense(
-            2, dtype=self.dtype, name="reference_points"
-        )
+        if self.two_stage:
+            # reference models/deformable_transformer.py:55-58
+            self.enc_output = nn.Dense(self.d_model, dtype=self.dtype,
+                                       name="enc_output")
+            self.enc_output_norm = nn.LayerNorm(dtype=self.dtype,
+                                                name="enc_output_norm")
+            self.pos_trans = nn.Dense(self.d_model * 2, dtype=self.dtype,
+                                      name="pos_trans")
+            self.pos_trans_norm = nn.LayerNorm(dtype=self.dtype,
+                                               name="pos_trans_norm")
+            # encoder-stage heads (see module docstring on the reference's
+            # broken head sharing)
+            self.enc_class_embed = nn.Dense(self.num_classes, dtype=self.dtype,
+                                            name="enc_class_embed")
+            self.enc_bbox_embed = MLP(self.d_model, 4, 3, dtype=self.dtype,
+                                      name="enc_bbox_embed")
+        else:
+            self.reference_points_proj = nn.Dense(
+                2, dtype=self.dtype, name="reference_points"
+            )
         if self.with_box_refine:
             self.bbox_embed = [
                 MLP(self.d_model, 4, 3, dtype=self.dtype, name=f"bbox_embed_{i}")
@@ -252,6 +302,51 @@ class DeformableTransformer(nn.Module):
         else:
             shared = MLP(self.d_model, 4, 3, dtype=self.dtype, name="bbox_embed_shared")
             self.bbox_embed = [shared] * self.num_decoder_layers
+
+    def gen_encoder_output_proposals(
+        self,
+        memory: jnp.ndarray,  # (B, S, C)
+        padding_mask: jnp.ndarray,  # (B, S) True=pad
+        spatial_shapes: SpatialShapes,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-token anchor proposals + projected memory for the two-stage
+        region-proposal head (reference models/deformable_transformer.py:91-122).
+
+        Returns (output_memory (B,S,C), output_proposals (B,S,4) in
+        unactivated logit space, +inf at padded / out-of-frame tokens)."""
+        B = memory.shape[0]
+        proposals = []
+        cur = 0
+        for lvl, (H, W) in enumerate(spatial_shapes):
+            m = padding_mask[:, cur:cur + H * W].reshape(B, H, W)
+            valid_h = jnp.sum(~m[:, :, 0], axis=1).astype(jnp.float32)
+            valid_w = jnp.sum(~m[:, 0, :], axis=1).astype(jnp.float32)
+            gy, gx = jnp.meshgrid(
+                jnp.arange(H, dtype=jnp.float32),
+                jnp.arange(W, dtype=jnp.float32), indexing="ij",
+            )
+            grid = jnp.stack([gx, gy], -1)  # (H, W, 2) xy
+            scale = jnp.stack([valid_w, valid_h], -1).reshape(B, 1, 1, 2)
+            grid = (grid[None] + 0.5) / scale
+            wh = jnp.full_like(grid, 0.05 * (2.0 ** lvl))
+            proposals.append(
+                jnp.concatenate([grid, wh], -1).reshape(B, H * W, 4))
+            cur += H * W
+        props = jnp.concatenate(proposals, axis=1)  # (B, S, 4)
+        valid = jnp.all((props > 0.01) & (props < 0.99), -1, keepdims=True)
+        # reference takes log(p/(1-p)) unguarded then masks the (NaN/inf)
+        # out-of-range rows with +inf; we clip first so no NaN ever exists
+        # in the graph — masked positions end up +inf either way.
+        safe = jnp.clip(props, 1e-6, 1.0 - 1e-6)
+        props_unact = jnp.log(safe / (1.0 - safe))
+        drop = padding_mask[..., None] | ~valid
+        props_unact = jnp.where(drop, jnp.inf, props_unact)
+        out_mem = jnp.where(drop, 0.0, memory)
+        out_mem = self.enc_output_norm(self.enc_output(out_mem))
+        return out_mem, props_unact
+
+    def get_proposal_pos_embed(self, proposals: jnp.ndarray) -> jnp.ndarray:
+        return proposal_pos_embed(proposals, self.d_model)
 
     def bbox_head(self, x: jnp.ndarray, lvl: int) -> jnp.ndarray:
         """Expose the (shared) per-layer box head so the composition root can
@@ -292,13 +387,41 @@ class DeformableTransformer(nn.Module):
 
         # decoder
         B = memory.shape[0]
-        Nq = query_embed.shape[0]
-        qe = jnp.broadcast_to(query_embed[None], (B, Nq, query_embed.shape[1]))
-        qe = qe.astype(self.dtype)
-        tgt = jnp.zeros_like(qe)
-        reference_points = nn.sigmoid(
-            self.reference_points_proj(qe).astype(jnp.float32)
-        )  # (B, Nq, 2)
+        enc_outputs = None
+        if self.two_stage:
+            # reference models/deformable_transformer.py:172-190
+            output_memory, output_proposals = self.gen_encoder_output_proposals(
+                memory, mask_flat, spatial_shapes)
+            enc_class = self.enc_class_embed(output_memory).astype(jnp.float32)
+            enc_coord_unact = (
+                self.enc_bbox_embed(output_memory).astype(jnp.float32)
+                + output_proposals
+            )
+            # the reference top-ks the raw logit; we exclude +inf-coordinate
+            # (padded/out-of-frame) proposals — see module docstring
+            score = jnp.where(
+                jnp.isfinite(output_proposals[..., 0]),
+                enc_class[..., 0], -jnp.inf,
+            )
+            _, topk_idx = jax.lax.top_k(score, self.two_stage_num_proposals)
+            topk_coords_unact = jnp.take_along_axis(
+                enc_coord_unact, topk_idx[..., None], axis=1)
+            topk_coords_unact = jax.lax.stop_gradient(topk_coords_unact)
+            reference_points = nn.sigmoid(topk_coords_unact)  # (B, K, 4)
+            pos_trans_out = self.pos_trans_norm(self.pos_trans(
+                self.get_proposal_pos_embed(topk_coords_unact)
+                .astype(self.dtype)))
+            qe, tgt = jnp.split(pos_trans_out, 2, axis=-1)
+            enc_outputs = (enc_class, enc_coord_unact)
+        else:
+            Nq = query_embed.shape[0]
+            qe = jnp.broadcast_to(
+                query_embed[None], (B, Nq, query_embed.shape[1]))
+            qe = qe.astype(self.dtype)
+            tgt = jnp.zeros_like(qe)
+            reference_points = nn.sigmoid(
+                self.reference_points_proj(qe).astype(jnp.float32)
+            )  # (B, Nq, 2)
         init_reference = reference_points
 
         hs_list, ref_list = [], []
@@ -341,4 +464,4 @@ class DeformableTransformer(nn.Module):
             )
             start += H * W
 
-        return hs, memory_features, init_reference, inter_references
+        return hs, memory_features, init_reference, inter_references, enc_outputs

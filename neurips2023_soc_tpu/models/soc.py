@@ -54,6 +54,8 @@ class SOC(nn.Module):
     enc_n_points: int = 4
     dec_n_points: int = 4
     with_box_refine: bool = True
+    two_stage: bool = False
+    two_stage_num_proposals: int = 300
     rel_coord: bool = True
     mask_kernels_dim: int = 8
     controller_layers: int = 3
@@ -98,15 +100,22 @@ class SOC(nn.Module):
             dec_n_points=self.dec_n_points,
             enc_n_points=self.enc_n_points,
             with_box_refine=self.with_box_refine,
+            two_stage=self.two_stage,
+            two_stage_num_proposals=self.two_stage_num_proposals,
+            num_classes=self.num_classes,
             impl=self.msda_impl,
             dtype=self.dtype,
             name="transformer",
         )
+        # two-stage replaces the Nq learned queries with top-k encoder
+        # proposals, so every per-query module downstream sizes to that
+        eff_nq = (self.two_stage_num_proposals if self.two_stage
+                  else self.num_queries)
         self.voc = VOC(
             input_dim=C,
             window_size=self.voc_window_size,
-            num_frame_queries=self.num_queries,
-            num_queries=self.num_queries,
+            num_frame_queries=eff_nq,
+            num_queries=eff_nq,
             num_heads=self.nheads,
             dim_feedforward=self.dim_feedforward,
             enc_layers=self.voc_enc_layers,
@@ -278,11 +287,16 @@ class SOC(nn.Module):
             masks.append(m)
             poses.append(pos_l)
 
-        hs, memory_features, init_reference, inter_references = self.transformer(
-            srcs, masks, poses, self.query_embed, deterministic=deterministic
+        hs, memory_features, init_reference, inter_references, enc_outputs = (
+            self.transformer(
+                srcs, masks, poses, self.query_embed,
+                deterministic=deterministic,
+            )
         )
         Lyr = hs.shape[0]
-        Nq = self.num_queries
+        # two-stage replaces the Nq learned queries with top-k encoder
+        # proposals (reference models/deformable_transformer.py:181-190)
+        Nq = hs.shape[2]
 
         # text feature for the contrastive vl loss: mean of the last fused
         # level's non-pad text tokens (reference models/soc.py:296-310)
@@ -355,4 +369,12 @@ class SOC(nn.Module):
             "pred_logit": voc_hs,  # (Lyr, B, Nq, C)
             "text_sentence_feature": text_features,  # (B, C)
         }
+        if enc_outputs is not None:
+            # exposed for inspection; no loss consumes them, matching the
+            # reference which drops the two-stage encoder outputs
+            # (reference models/soc.py:288)
+            out["enc_outputs"] = {
+                "pred_cls": enc_outputs[0],
+                "pred_boxes_unact": enc_outputs[1],
+            }
         return out

@@ -253,6 +253,9 @@ class VideoSwinBackbone(nn.Module):
     qkv_bias: bool = True
     drop_path_rate: float = 0.2
     patch_norm: bool = True
+    # 2D Swin (reference models/swin_transformer.py:611-615) LayerNorms each
+    # stage's output before emitting it; Video Swin does not.
+    out_norms: bool = False
     use_remat: bool = False
     attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
@@ -303,8 +306,11 @@ class VideoSwinBackbone(nn.Module):
                 )(x, deterministic)
                 block_idx += 1
             # collect the pre-downsample output of this stage, per frame
-            Bc, Tc, Hc, Wc, Cc = x.shape
-            outs.append(x.reshape(Bc * Tc, Hc, Wc, Cc))
+            y = x
+            if self.out_norms:
+                y = nn.LayerNorm(dtype=self.dtype, name=f"out_norm_{stage}")(y)
+            Bc, Tc, Hc, Wc, Cc = y.shape
+            outs.append(y.reshape(Bc * Tc, Hc, Wc, Cc))
             if stage < len(self.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype,
                                  name=f"layers_{stage}_downsample")(x)
@@ -316,17 +322,32 @@ SWIN_CONFIGS = {
     "video-swin-t": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
     "video-swin-s": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
     "video-swin-b": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+    # 2D image Swin (reference models/swin_transformer.py:688-744): the same
+    # machinery with temporal window 1 — each frame attends independently, the
+    # relative-position table collapses to the 2D (13*13, H) one — plus
+    # per-stage output LayerNorms. The reference never wires these into SOC
+    # (models/soc.py:42-45 accepts only video-swin/resnet); here any swin-*
+    # name is usable end-to-end.
+    "swin-t": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+                   window=(1, 7, 7), out_norms=True, drop_path_rate=0.2),
+    "swin-s": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24),
+                   window=(1, 7, 7), out_norms=True, drop_path_rate=0.2),
+    "swin-b": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+                   window=(1, 7, 7), out_norms=True, drop_path_rate=0.3),
+    "swin-l": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48),
+                   window=(1, 7, 7), out_norms=True, drop_path_rate=0.3),
 }
 
 
 def build_video_swin(name: str, use_remat: bool = False,
                      attn_impl: str = "xla",
                      dtype: jnp.dtype = jnp.float32) -> VideoSwinBackbone:
-    cfg = SWIN_CONFIGS[name]
+    cfg = dict(SWIN_CONFIGS[name])
     return VideoSwinBackbone(
         patch_size=(1, 4, 4),
-        window=(8, 7, 7),
-        drop_path_rate=0.2,
+        window=cfg.pop("window", (8, 7, 7)),
+        drop_path_rate=cfg.pop("drop_path_rate", 0.2),
+        out_norms=cfg.pop("out_norms", False),
         patch_norm=True,
         use_remat=use_remat,
         attn_impl=attn_impl,

@@ -103,6 +103,11 @@ def flax_to_torch(path: Tuple[str, ...]) -> Optional[Tuple[str, str]]:
                 return norm(tp + "norm")
             if sub.startswith("reduction/"):
                 return lin(tp + "reduction")
+        # 2D Swin per-stage output norms (reference swin_transformer.py:527,
+        # 611-615: self.norm{i} applied to each out level)
+        m2 = re.match(r"out_norm_(\d+)/", rest)
+        if m2:
+            return norm(f"{bb}norm{m2.group(1)}")
         return None
 
     # ---------------- text encoder: roberta ----------------
@@ -148,6 +153,19 @@ def flax_to_torch(path: Tuple[str, ...]) -> Optional[Tuple[str, str]]:
             return tf + "level_embed", "copy"
         if rest.startswith("reference_points/"):
             return lin(tf + "reference_points")
+        # two-stage submodules (reference deformable_transformer.py:55-58);
+        # enc_class_embed/enc_bbox_embed have no reference counterpart (the
+        # reference's two-stage head sharing is broken as shipped — see
+        # models/deformable_transformer.py module docstring) so they stay
+        # at their init values when loading a reference checkpoint.
+        if rest.startswith("enc_output/"):
+            return lin(tf + "enc_output")
+        if rest.startswith("enc_output_norm/"):
+            return norm(tf + "enc_output_norm")
+        if rest.startswith("pos_trans/"):
+            return lin(tf + "pos_trans")
+        if rest.startswith("pos_trans_norm/"):
+            return norm(tf + "pos_trans_norm")
         m2 = re.match(r"encoder_layers_(\d+)/(.*)", rest)
         if m2:
             i, sub = m2.groups()
@@ -306,6 +324,31 @@ def kinetics_swin_to_backbone(state_dict: Dict[str, "np.ndarray"]):
         if m:
             k = f"downsamples.{m.group(1)}.{m.group(2)}"
         out["backbone.0.body." + k] = np.asarray(v)
+    return out
+
+
+def swin2d_to_backbone(state_dict: Dict[str, "np.ndarray"]):
+    """Convert an ImageNet 2D-Swin torch checkpoint (official layout, e.g.
+    swin_{tiny,small,base,large}_patch4_window7_224.pth 'model' dict) into
+    SOC backbone keys for the swin-* 2D configs: inject a singleton temporal
+    dim into the patch embed (C,3,4,4)->(C,3,1,4,4) — the 2D table already
+    matches the (1,7,7)-window table 1:1 — and move downsamples out of the
+    BasicLayer like the Kinetics converter."""
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith("backbone."):
+            k = k[len("backbone."):]
+        if ("relative_position_index" in k or "attn_mask" in k
+                or k.startswith("head.") or k == "norm.weight"
+                or k == "norm.bias"):
+            continue
+        v = np.asarray(v)
+        if k == "patch_embed.proj.weight":
+            v = v[:, :, None]  # (C, 3, 4, 4) -> (C, 3, 1, 4, 4)
+        m = re.match(r"layers\.(\d+)\.downsample\.(.*)", k)
+        if m:
+            k = f"downsamples.{m.group(1)}.{m.group(2)}"
+        out["backbone.0.body." + k] = v
     return out
 
 

@@ -113,6 +113,11 @@ def _install_stubs():
 
         tml.DropPath = DropPath
         tml.trunc_normal_ = torch.nn.init.trunc_normal_
+
+        def to_2tuple(x):
+            return x if isinstance(x, tuple) else (x, x)
+
+        tml.to_2tuple = to_2tuple
         timm.models = tm
         tm.layers = tml
         sys.modules["timm"] = timm

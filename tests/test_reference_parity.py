@@ -367,9 +367,10 @@ def test_deformable_transformer_vs_reference():
         sd.update(torch_sd(m, f"bbox_embed.{i}."))
     variables, _ = convert_submodule(variables, sd, flax_prefix="transformer")
 
-    hs, mem, init_ref, inter_ref = model.apply(
+    hs, mem, init_ref, inter_ref, enc_outputs = model.apply(
         variables, jsrcs, jmasks, jposes, jnp.asarray(qe)
     )
+    assert enc_outputs is None  # single-stage
     allclose(np.asarray(init_ref), ref_init.numpy(), msg="init_reference")
     allclose(np.asarray(hs), ref_hs.numpy(), rtol=1e-3, atol=1e-3, msg="hs")
     allclose(np.asarray(inter_ref), ref_inter.numpy(), rtol=1e-3, atol=1e-3,
@@ -415,3 +416,191 @@ def test_fpn_spatial_decoder_vs_reference():
     mine = np.asarray(model.apply(variables, jx, jf))
     allclose(mine.transpose(0, 3, 1, 2), ref_out, rtol=1e-3, atol=1e-3,
              msg="FPN spatial decoder")
+
+
+# --------------------------------------- two-stage proposal generation
+
+
+def test_two_stage_proposals_vs_reference():
+    """gen_encoder_output_proposals + get_proposal_pos_embed parity against
+    the actual reference module (reference deformable_transformer.py:77-122).
+    Only these pieces can be parity-tested: the reference's full two-stage
+    forward crashes as shipped (decoder.class_embed is None, see
+    neurips2023_soc_tpu/models/deformable_transformer.py docstring)."""
+    from models.deformable_transformer import DeformableTransformer as RefDT
+    from neurips2023_soc_tpu.models.deformable_transformer import (
+        DeformableTransformer,
+    )
+
+    seed_all(0)
+    C, heads, L, K = 32, 4, 3, 7
+    ref = RefDT(
+        d_model=C, nhead=heads, num_encoder_layers=1, num_decoder_layers=1,
+        dim_feedforward=64, dropout=0.0, return_intermediate_dec=True,
+        num_feature_levels=L, two_stage=True, two_stage_num_proposals=K,
+    ).eval()
+
+    shapes = ((8, 12), (4, 6), (2, 3))
+    B = 2
+    S = sum(h * w for h, w in shapes)
+    rng = np.random.RandomState(5)
+    memory = rng.randn(B, S, C).astype(np.float32)
+    masks = [np.zeros((B, h, w), bool) for h, w in shapes]
+    masks[0][0, 6:, :] = True
+    masks[1][0, 3:, :] = True
+    masks[2][0, 1:, :] = True
+    mask_flat = np.concatenate([m.reshape(B, -1) for m in masks], 1)
+
+    with torch.no_grad():
+        ref_mem, ref_props = ref.gen_encoder_output_proposals(
+            torch.from_numpy(memory), torch.from_numpy(mask_flat),
+            torch.as_tensor(shapes, dtype=torch.long),
+        )
+
+    model = DeformableTransformer(
+        d_model=C, n_heads=heads, num_encoder_layers=1, num_decoder_layers=1,
+        dim_feedforward=64, num_feature_levels=L, with_box_refine=True,
+        two_stage=True, two_stage_num_proposals=K,
+    )
+    srcs = [rng.randn(B, h, w, C).astype(np.float32) for h, w in shapes]
+    poses = [rng.randn(B, h, w, C).astype(np.float32) for h, w in shapes]
+    jmasks = [jnp.asarray(m) for m in masks]
+    variables = model.init(
+        jax.random.PRNGKey(0), [jnp.asarray(s) for s in srcs], jmasks,
+        [jnp.asarray(p) for p in poses], jnp.zeros((1, C), jnp.float32),
+    )
+    # the box-refinement heads live at SOC level in the checkpoint layout and
+    # are irrelevant to the two methods under test
+    variables, _ = convert_submodule(variables, torch_sd(ref, "transformer."),
+                                     flax_prefix="transformer",
+                                     allow_missing=("transformer/bbox_embed",))
+
+    my_mem, my_props = model.apply(
+        variables, jnp.asarray(memory), jnp.asarray(mask_flat), shapes,
+        method=DeformableTransformer.gen_encoder_output_proposals,
+    )
+    my_props, my_mem = np.asarray(my_props), np.asarray(my_mem)
+    # masked (padded / out-of-frame) rows are +inf in both (the reference's
+    # may also be NaN where log() saw a negative argument before the mask)
+    ref_props_np = ref_props.numpy()
+    ref_bad = ~np.isfinite(ref_props_np)
+    my_bad = ~np.isfinite(my_props)
+    np.testing.assert_array_equal(my_bad, ref_bad)
+    assert np.all(my_props[my_bad] == np.inf)
+    allclose(my_props[~my_bad], ref_props_np[~ref_bad], msg="proposals")
+    allclose(my_mem, ref_mem.numpy(), rtol=1e-3, atol=1e-3,
+             msg="output_memory")
+
+    # proposal pos embed on arbitrary finite unactivated boxes. The
+    # reference hardcodes num_pos_feats=128 (4*128 = 2*d_model only at
+    # d_model=256 — its two-stage is shape-inconsistent at any other
+    # width), so compare at 256 where it is well-defined. The method is
+    # parameter-free, so apply with an empty tree.
+    from neurips2023_soc_tpu.models.deformable_transformer import (
+        proposal_pos_embed,
+    )
+
+    props_in = rng.randn(B, K, 4).astype(np.float32)
+    with torch.no_grad():
+        ref_pe = ref.get_proposal_pos_embed(torch.from_numpy(props_in))
+    my_pe = proposal_pos_embed(jnp.asarray(props_in), 256)
+    allclose(np.asarray(my_pe), ref_pe.numpy(), rtol=1e-3, atol=1e-3,
+             msg="proposal pos embed")
+
+
+def test_two_stage_forward_functional():
+    """Full two-stage forward (ours): top-k proposal queries drive the
+    decoder — Nq becomes two_stage_num_proposals, reference points are
+    4-d boxes from the start, outputs stay finite."""
+    from neurips2023_soc_tpu.models.deformable_transformer import (
+        DeformableTransformer,
+    )
+
+    C, L, K = 32, 3, 6
+    shapes = ((8, 12), (4, 6), (2, 3))
+    B = 2
+    rng = np.random.RandomState(7)
+    srcs = [rng.randn(B, h, w, C).astype(np.float32) for h, w in shapes]
+    poses = [rng.randn(B, h, w, C).astype(np.float32) for h, w in shapes]
+    masks = [np.zeros((B, h, w), bool) for h, w in shapes]
+    masks[0][1, 5:, :] = True
+    masks[1][1, 2:, :] = True
+    masks[2][1, 1:, :] = True
+
+    model = DeformableTransformer(
+        d_model=C, n_heads=4, num_encoder_layers=1, num_decoder_layers=2,
+        dim_feedforward=64, num_feature_levels=L, with_box_refine=True,
+        two_stage=True, two_stage_num_proposals=K,
+    )
+    args = ([jnp.asarray(s) for s in srcs], [jnp.asarray(m) for m in masks],
+            [jnp.asarray(p) for p in poses], jnp.zeros((1, C), jnp.float32))
+    variables = model.init(jax.random.PRNGKey(1), *args)
+    hs, mem, init_ref, inter_ref, enc_outputs = model.apply(variables, *args)
+    assert hs.shape == (2, B, K, C)
+    assert init_ref.shape == (B, K, 4)
+    assert inter_ref.shape == (2, B, K, 4)
+    enc_cls, enc_coord = enc_outputs
+    S = sum(h * w for h, w in shapes)
+    assert enc_cls.shape == (B, S, 1) and enc_coord.shape == (B, S, 4)
+    for x in (hs, init_ref, inter_ref):
+        assert np.isfinite(np.asarray(x)).all()
+    # selected proposals must come from valid (finite-coordinate) tokens
+    assert np.isfinite(np.asarray(init_ref)).all()
+    assert (np.asarray(init_ref) > 0).all() and (np.asarray(init_ref) < 1).all()
+
+
+# ------------------------------------------------------------ 2D Swin
+
+
+def test_swin2d_vs_reference():
+    """2D image Swin (reference models/swin_transformer.py:446-641) == our
+    Video-Swin machinery with temporal window 1 + per-stage output norms,
+    loaded through the swin2d_to_backbone checkpoint adapter. The reference
+    never wires this backbone into SOC (models/soc.py:42-45); we support it
+    end-to-end."""
+    from models.swin_transformer import SwinTransformer as RefSwin2D
+    from neurips2023_soc_tpu.models.video_swin import VideoSwinBackbone
+    from neurips2023_soc_tpu.training.convert import swin2d_to_backbone
+
+    seed_all(0)
+    ref = RefSwin2D(
+        pretrain_img_size=224, patch_size=4, in_chans=3, embed_dim=16,
+        depths=[1, 1, 2, 1], num_heads=[1, 2, 4, 8], window_size=7,
+        mlp_ratio=4.0, qkv_bias=True, qk_scale=None, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.2, ape=False, patch_norm=True,
+        out_indices=(0, 1, 2, 3), use_checkpoint=False,
+    )
+    # note: not chained — the reference's overridden train() (swin
+    # transformer :620-623) forgets `return self`, so .eval() returns None
+    ref.eval()
+
+    # all four levels (56/28/14/7) are >= the 7x7 window: below the window
+    # size the two lineages legitimately diverge — 2D Swin pads the map up
+    # to a full window (swin_transformer.py:216-219) while Video Swin clamps
+    # the window to the map (video_swin_transformer.py:71-84). Every real
+    # workload resolution (shorter side >= 224) keeps all levels >= 7.
+    B, T, H, W = 1, 2, 224, 224
+    rng = np.random.RandomState(6)
+    video = rng.randn(B, T, H, W, 3).astype(np.float32)
+
+    with torch.no_grad():
+        frames = torch.from_numpy(
+            video.reshape(B * T, H, W, 3).transpose(0, 3, 1, 2))
+        ref_out = ref(frames)  # {'0': (B*T, C, h, w), ...}
+
+    model = VideoSwinBackbone(
+        patch_size=(1, 4, 4), embed_dim=16, depths=(1, 1, 2, 1),
+        num_heads=(1, 2, 4, 8), window=(1, 7, 7), out_norms=True,
+        drop_path_rate=0.2,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(video))
+    sd = swin2d_to_backbone(torch_sd(ref))
+    variables, _ = convert_submodule(variables, sd, flax_prefix="backbone")
+    mine = model.apply(variables, jnp.asarray(video))
+    for lvl in range(4):
+        allclose(
+            np.asarray(mine[lvl]).transpose(0, 3, 1, 2),
+            ref_out[str(lvl)].numpy(),
+            rtol=1e-3, atol=1e-3,
+            msg=f"2d swin level {lvl}",
+        )
