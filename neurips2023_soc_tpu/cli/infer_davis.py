@@ -56,14 +56,18 @@ def main():
     vids = shard_videos(sorted(by_video.keys()))
     by_video = {v: by_video[v] for v in vids}
 
+    from ..utils.prefetch import prefetch
+
     t0 = time.time()
     for video_id, idxs in by_video.items():
         idxs = sorted(idxs, key=lambda i: int(dataset.samples_list[i][2]["exp_id"]))
         num_obj = len(idxs) // 4
+        # decode the next expression's frames while the chip runs this one
+        samples = prefetch((dataset[i] for i in idxs), buffer_size=2)
         for anno_id in range(4):
             prob_masks, frame_names = [], None
             for obj in range(num_obj):
-                s = dataset[idxs[anno_id * num_obj + obj]]
+                s = next(samples)
                 meta = s["video_metadata"]
                 frame_names = meta["frame_indices"]
                 probs = engine.infer_video(

@@ -40,8 +40,11 @@ def evaluate_a2d_batches(
 ) -> Dict[str, float]:
     """batches must carry 'image_ids', 'resized_sizes', 'orig_sizes' metadata
     alongside the standard model inputs."""
+    from .utils.prefetch import prefetch
+
     dt_annotations = []
-    for batch in batches:
+    # collate the next batch on the host while the chip runs this forward
+    for batch in prefetch(batches):
         outputs = forward(params, batch)
         preds = a2d_postprocess(
             outputs,
@@ -152,10 +155,12 @@ def evaluate_refer_youtube_vos(
     """Run whole-video inference over the valid split and write the
     competition submission (reference trainer.py:315-354)."""
     from .inference import save_ytvos_predictions, zip_submission
+    from .utils.prefetch import prefetch
 
     preds = []
-    for i in range(len(dataset)):
-        s = dataset[i]
+    # decode the next video on the host while the chip runs this one
+    samples = prefetch((dataset[i] for i in range(len(dataset))), buffer_size=2)
+    for s in samples:
         meta = s["video_metadata"]
         masks = engine.infer_video(
             s["frames"], s["text"], original_size=meta["original_frame_size"]

@@ -146,6 +146,7 @@ class Trainer:
         config.profile_steps=N wraps steps [1, N] of the first epoch in a
         jax.profiler trace written under output_dir/profile."""
         from ..utils.logging import MetricLogger, SmoothedValue, profile_trace
+        from ..utils.prefetch import prefetch
 
         print("Training started...")
         rng = jax.random.PRNGKey(self.config.seed + 1)
@@ -160,7 +161,8 @@ class Trainer:
             data_time = SmoothedValue(fmt="{avg:.4f}")
             end = time.perf_counter()
             prof = None
-            for i, batch in enumerate(self.train_batches(self.epoch)):
+            # decode/collate the next batch while the chip runs this step
+            for i, batch in enumerate(prefetch(self.train_batches(self.epoch))):
                 data_time.update(time.perf_counter() - end)
                 if self._state is None:
                     self.init_state(batch)
