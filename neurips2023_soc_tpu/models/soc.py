@@ -260,9 +260,12 @@ class SOC(nn.Module):
                 memory_key_padding_mask=txt_pad_mask, pos=text_pos,
                 deterministic=deterministic,
             )
+            # the reference passes the vision 2D sine PE as the memory pos
+            # (models/soc.py:234,242-248)
             lan = self.lvf(
                 tgt=text_word_features, memory=seq,
-                memory_key_padding_mask=mask_seq, pos=None,
+                memory_key_padding_mask=mask_seq,
+                pos=pos_l.reshape(B, T * h * w, C),
                 deterministic=deterministic,
             )
             srcs.append(fused.reshape(B * T, h, w, C))
@@ -311,8 +314,24 @@ class SOC(nn.Module):
             hs_tb, text_sentence_feature, training=training,
             deterministic=deterministic,
         )  # (Lyr_eff, B, Nq, C)
+        # Reference inference quirk, reproduced exactly: with vl_loss on,
+        # layer_outputs is built by zip()ing the L-layer head outputs with
+        # the SINGLE-layer inference VOC output (reference models/soc.py:377),
+        # so zip truncates to one entry — the deployed model scores layer-0
+        # queries (+ the last-layer VOC residual) with the layer-0 heads.
+        # With vl_loss off the zipped lists have equal length and the last
+        # layer is kept. `emit_layers` is the static set of layers that reach
+        # the (expensive) dynamic mask head and the output dict; the cheap
+        # cls/box heads still run for every layer so all head params exist
+        # regardless of mode.
+        if training:
+            emit_layers = tuple(range(Lyr))
+        elif self.vl_loss:
+            emit_layers = (0,)
+        else:
+            emit_layers = tuple(range(Lyr))
         if not training:
-            # inference: VOC consumed only the last layer; broadcast it back
+            # inference VOC consumed only the last layer; broadcast it back
             voc_hs = jnp.broadcast_to(voc_hs, (Lyr, B, Nq, C))
         hs_voc = hs_tb + voc_hs[:, None]  # (Lyr, T, B, Nq, C)
         hs_voc_flat = hs_voc.transpose(0, 2, 1, 3, 4).reshape(Lyr, B * T, Nq, C)
@@ -330,8 +349,10 @@ class SOC(nn.Module):
                 tmp = jnp.concatenate([tmp[..., :2] + reference, tmp[..., 2:]], -1)
             box_list.append(nn.sigmoid(tmp))
             cls_list.append(out_cls)
-        outputs_class = jnp.stack(cls_list)  # (Lyr, B*T, Nq, K)
-        outputs_coord = jnp.stack(box_list)  # (Lyr, B*T, Nq, 4)
+        outputs_class = jnp.stack(
+            [cls_list[i] for i in emit_layers])  # (L_emit, B*T, Nq, K)
+        outputs_coord = jnp.stack(
+            [box_list[i] for i in emit_layers])  # (L_emit, B*T, Nq, 4)
 
         # FPN mask features at stride 4
         fpn_inputs = list(memory_features)  # strides 8, 16, 32 (B*T, h, w, C)
@@ -346,9 +367,9 @@ class SOC(nn.Module):
                 jnp.asarray([H, W], jnp.float32)[None], (B, 2)
             )
 
-        # dynamic mask head per decoder layer
+        # dynamic mask head per emitted decoder layer
         mask_list = []
-        for lvl in range(Lyr):
+        for lvl in emit_layers:
             params = self.controller(hs_voc_flat[lvl])  # (B*T, Nq, P)
             params = params.reshape(B, T * Nq, self.num_gen_params)
             refs = inter_references[lvl][..., :2].reshape(B, T * Nq, 2)
@@ -360,13 +381,14 @@ class SOC(nn.Module):
             )  # (B, T*Nq, hm, wm)
             seg = seg.reshape(B, T, Nq, hm, wm).transpose(1, 0, 2, 3, 4)
             mask_list.append(seg)
-        output_masks = jnp.stack(mask_list)  # (Lyr, T, B, Nq, hm, wm)
+        output_masks = jnp.stack(mask_list)  # (L_emit, T, B, Nq, hm, wm)
 
+        Le = len(emit_layers)
         out = {
             "pred_masks": output_masks,
-            "pred_cls": outputs_class.reshape(Lyr, B, T, Nq, -1).transpose(0, 2, 1, 3, 4),
-            "pred_boxes": outputs_coord.reshape(Lyr, B, T, Nq, 4).transpose(0, 2, 1, 3, 4),
-            "pred_logit": voc_hs,  # (Lyr, B, Nq, C)
+            "pred_cls": outputs_class.reshape(Le, B, T, Nq, -1).transpose(0, 2, 1, 3, 4),
+            "pred_boxes": outputs_coord.reshape(Le, B, T, Nq, 4).transpose(0, 2, 1, 3, 4),
+            "pred_logit": voc_hs[jnp.asarray(emit_layers)],  # (L_emit, B, Nq, C)
             "text_sentence_feature": text_features,  # (B, C)
         }
         if enc_outputs is not None:

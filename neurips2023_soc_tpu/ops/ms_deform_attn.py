@@ -42,20 +42,26 @@ def level_start_index(spatial_shapes: SpatialShapes) -> Tuple[int, ...]:
 
 
 def _slot_weights(q: jnp.ndarray, f: jnp.ndarray, a: jnp.ndarray,
-                  q0: jnp.ndarray) -> jnp.ndarray:
+                  q0: jnp.ndarray, size: int) -> jnp.ndarray:
     """Weights of the two patch slots along one axis.
 
     q0 = floor(coord) (int), f = frac, a = clip(q0, 0, size-2) anchor.
     slot k holds coordinate a+k; its weight is (1-f) if a+k == q0, f if
     a+k == q0+1, else 0 — this reproduces bilinear-with-zero-padding exactly
     for every clipping case (q0 < 0, q0 == size-1, far out of range).
+
+    size == 1 degenerate axis: the anchor clips to 0 so slot 1 sits at
+    coordinate 1, OUT of bounds — grid_sample zero-pads there, but the rolled
+    patch table wraps into the next row/level, so its weight must be forced
+    to zero (static branch: `size` is a compile-time level dimension).
     """
     w = []
     for k in (0, 1):
         qq = a + k
-        w.append(
-            jnp.where(qq == q0, 1.0 - f, jnp.where(qq == q0 + 1, f, 0.0))
-        )
+        wk = jnp.where(qq == q0, 1.0 - f, jnp.where(qq == q0 + 1, f, 0.0))
+        if k == 1 and size == 1:
+            wk = jnp.zeros_like(wk)
+        w.append(wk)
     return jnp.stack(w, axis=-1)  # (..., 2)
 
 
@@ -119,8 +125,8 @@ def ms_deform_attn_xla(
         ax = jnp.clip(x0i, 0, max(W - 2, 0))
         ay = jnp.clip(y0i, 0, max(H - 2, 0))
         anchor_levels.append(ay * W + ax + starts[l])
-        wx = _slot_weights(x, fx, ax, x0i)  # (B, Lq, M, P, 2)
-        wy = _slot_weights(y, fy, ay, y0i)
+        wx = _slot_weights(x, fx, ax, x0i, W)  # (B, Lq, M, P, 2)
+        wy = _slot_weights(y, fy, ay, y0i, H)
         # slot order matches the table concat: (y0,x0),(y0,x1),(y1,x0),(y1,x1)
         ws = wy[..., :, None] * wx[..., None, :]  # (B, Lq, M, P, 2, 2)
         ws = ws.reshape(ws.shape[:-2] + (4,)) * attn[:, :, :, l, :, None]

@@ -158,12 +158,17 @@ def _anchors(x, y, H: int, W: int):
     return ax, ay, fx, fy, x0i, y0i
 
 
-def _slot_w(f, a, q0):
-    """(w_k for k=0,1): bilinear weight of patch slot a+k along one axis."""
+def _slot_w(f, a, q0, size):
+    """(w_k for k=0,1): bilinear weight of patch slot a+k along one axis.
+    size == 1: slot 1 sits out of bounds (the rolled table wraps) — force
+    its weight to zero, matching grid_sample zero padding (static branch)."""
     out = []
     for k in (0, 1):
         qq = a + k
-        out.append(jnp.where(qq == q0, 1.0 - f, jnp.where(qq == q0 + 1, f, 0.0)))
+        wk = jnp.where(qq == q0, 1.0 - f, jnp.where(qq == q0 + 1, f, 0.0))
+        if k == 1 and size == 1:
+            wk = jnp.zeros_like(wk)
+        out.append(wk)
     return out
 
 
@@ -225,8 +230,8 @@ def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool):
                 tyv_a.append(ay // TY)
                 txv_a.append(ax // TX)
                 lov_a.append((ay % TY) * TX + ax % TX)
-                wx0, wx1 = _slot_w(fx, ax, x0i)
-                wy0, wy1 = _slot_w(fy, ay, y0i)
+                wx0, wx1 = _slot_w(fx, ax, x0i, W)
+                wy0, wy1 = _slot_w(fy, ay, y0i, H)
                 aw = att_ref[0, l, p]
                 w4 = jnp.stack(
                     [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], 1

@@ -38,7 +38,12 @@ def _install_stubs():
 
     if "torchvision" not in sys.modules:
         tv = _mod("torchvision")
-        tv.__version__ = "0.15.0"
+        # NOTE: the reference's misc.interpolate branches on
+        # float(torchvision.__version__[:3]) < 0.7 (misc.py:222-229) — three
+        # chars only, so "0.15.0" reads as 0.1 and takes the legacy
+        # ops.misc.interpolate path. Use a version whose 3-char prefix parses
+        # >= 0.7 so it routes to F.interpolate like any modern install.
+        tv.__version__ = "0.7.0"
         ops = _mod("torchvision.ops")
         boxes_mod = _mod("torchvision.ops.boxes")
 
@@ -47,6 +52,11 @@ def _install_stubs():
 
         boxes_mod.box_area = box_area
         ops.boxes = boxes_mod
+        # modern-torchvision branch of the reference's misc.interpolate
+        # (misc.py:229) delegates here; it is just F.interpolate
+        ops_misc = _mod("torchvision.ops.misc")
+        ops_misc.interpolate = torch.nn.functional.interpolate
+        ops.misc = ops_misc
         tv.ops = ops
         models_mod = _mod("torchvision.models")
         mutils = _mod("torchvision.models._utils")

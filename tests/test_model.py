@@ -54,7 +54,10 @@ def soc_outputs():
 
 def test_soc_forward_shapes(soc_outputs):
     model, params, out = soc_outputs
-    Lyr, Nq = 2, 5
+    # inference with vl_loss emits exactly one layer — the reference's
+    # zip-truncation quirk (reference models/soc.py:377): layer-0 heads on
+    # layer-0 queries + the last-layer VOC residual
+    Lyr, Nq = 1, 5
     assert out["pred_masks"].shape == (Lyr, T, B, Nq, H // 4, W // 4)
     assert out["pred_cls"].shape == (Lyr, T, B, Nq, 1)
     assert out["pred_boxes"].shape == (Lyr, T, B, Nq, 4)

@@ -93,3 +93,48 @@ def test_jit_and_vmap_compose():
     out = f(value, loc, attn)
     assert out.shape == (B, Lq, M * D)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _grid_sample_oracle(value, shapes, loc, attn):
+    """Shape-parameterized grid_sample oracle (the module-level one is bound
+    to the global SHAPES)."""
+    Bv, Sv, Mv, Dv = value.shape
+    Lqv, Pv = loc.shape[1], loc.shape[4]
+    v = torch.from_numpy(value)
+    locations = torch.from_numpy(loc)
+    weights = torch.from_numpy(attn)
+    out = torch.zeros(Bv, Lqv, Mv, Dv)
+    start = 0
+    for l, (H, W) in enumerate(shapes):
+        v_l = v[:, start:start + H * W]
+        start += H * W
+        v_l = v_l.permute(0, 2, 3, 1).reshape(Bv * Mv, Dv, H, W)
+        grid = 2.0 * locations[:, :, :, l] - 1.0
+        grid = grid.permute(0, 2, 1, 3, 4).reshape(Bv * Mv, Lqv, Pv, 2)
+        sampled = F.grid_sample(v_l, grid, mode="bilinear",
+                                padding_mode="zeros", align_corners=False)
+        w_l = weights[:, :, :, l].permute(0, 2, 1, 3).reshape(Bv * Mv, 1, Lqv, Pv)
+        out += (sampled * w_l).sum(-1).reshape(Bv, Mv, Dv, Lqv).permute(0, 3, 1, 2)
+    return out.reshape(Bv, Lqv, Mv * Dv).numpy()
+
+
+def test_degenerate_level_shapes_vs_oracle():
+    """Levels with H==1 or W==1 (e.g. the stride-64 extra pyramid level of a
+    small input): the out-of-bounds patch slot must contribute zero exactly
+    like grid_sample zero padding — the rolled patch table would otherwise
+    wrap the next row/level into the sample (round-2 e2e-parity regression)."""
+    for shapes in (((1, 2),), ((4, 1),), ((1, 1),),
+                   ((16, 24), (8, 12), (4, 6), (1, 2))):
+        rng = np.random.RandomState(1)
+        Bv, Mv, Dv, Lqv, Pv = 2, 2, 4, 7, 2
+        Lv = len(shapes)
+        Sv = sum(h * w for h, w in shapes)
+        value = rng.randn(Bv, Sv, Mv, Dv).astype(np.float32)
+        loc = rng.uniform(-0.2, 1.2,
+                          size=(Bv, Lqv, Mv, Lv, Pv, 2)).astype(np.float32)
+        attn = rng.rand(Bv, Lqv, Mv, Lv, Pv).astype(np.float32)
+        attn /= attn.reshape(Bv, Lqv, Mv, -1).sum(-1).reshape(Bv, Lqv, Mv, 1, 1)
+        ref = _grid_sample_oracle(value, shapes, loc, attn)
+        mine = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+        np.testing.assert_allclose(mine, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=str(shapes))

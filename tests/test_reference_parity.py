@@ -604,3 +604,242 @@ def test_swin2d_vs_reference():
             rtol=1e-3, atol=1e-3,
             msg=f"2d swin level {lvl}",
         )
+
+
+# --------------------------------------------------- criterion + matcher
+
+
+def _dense_targets(rng, T=3, B=2, N=1, H=32, W=32, invisible=()):
+    """Dense target dict in our layout; every reference training workload has
+    exactly one annotated instance per sample (the referred object)."""
+    masks = np.zeros((T, B, N, H, W), np.float32)
+    boxes = np.zeros((T, B, N, 4), np.float32)
+    for b in range(B):
+        y0, x0 = 4 + 3 * b, 6 + 2 * b
+        masks[:, b, 0, y0:y0 + 12, x0:x0 + 10] = 1.0
+        boxes[:, b, 0] = [(x0 + 5) / W, (y0 + 6) / H, 10 / W, 12 / H]
+    vis = np.ones((T, B, N), bool)
+    for (t, b) in invisible:
+        vis[t, b, 0] = False
+    return {
+        "masks": masks,
+        "boxes": boxes,
+        "labels": np.zeros((B, N), np.int32),
+        "inst_valid": np.ones((B, N), bool),
+        "is_ref_inst_visible": vis,
+        "referred_instance_idx": np.zeros((B,), np.int32),
+    }
+
+
+def _stacked_outputs(rng, Lyr=2, T=3, B=2, Nq=6, C=16, hm=8, wm=8):
+    return {
+        "pred_masks": rng.randn(Lyr, T, B, Nq, hm, wm).astype(np.float32),
+        "pred_boxes": (rng.rand(Lyr, T, B, Nq, 4).astype(np.float32) * 0.5
+                       + 0.25),
+        "pred_cls": rng.randn(Lyr, T, B, Nq, 1).astype(np.float32),
+        "pred_logit": rng.randn(Lyr, B, Nq, C).astype(np.float32),
+        "text_sentence_feature": rng.randn(B, C).astype(np.float32),
+    }
+
+
+def _targets_to_reference(tg):
+    T, B, N = tg["is_ref_inst_visible"].shape
+    out = []
+    for t in range(T):
+        row = []
+        for b in range(B):
+            ref_idx = int(tg["referred_instance_idx"][b])
+            row.append({
+                "masks": torch.from_numpy(tg["masks"][t, b]),
+                "boxes": torch.from_numpy(tg["boxes"][t, b]),
+                "labels": torch.from_numpy(
+                    tg["labels"][b].astype(np.int64)[:, None]),
+                "referred_instance_idx": torch.tensor(ref_idx),
+                "is_ref_inst_visible": torch.tensor(
+                    bool(tg["is_ref_inst_visible"][t, b, ref_idx])),
+            })
+        out.append(tuple(row))
+    return out
+
+
+@pytest.mark.parametrize("invisible", [(), ((1, 0), (2, 1))])
+def test_criterion_vs_reference(invisible):
+    """Loss-value parity of matcher + SetCriterion against the actual
+    reference modules (reference models/criterion.py:47-216,
+    models/matcher.py:38-112), including aux layers, the visual-linguistic
+    contrastive loss, and per-frame visibility gating."""
+    from models.matcher import HungarianMatcher
+    from models.criterion import SetCriterion
+    from neurips2023_soc_tpu.losses import (
+        CriterionConfig, compute_criterion)
+
+    rng = np.random.RandomState(11)
+    tg = _dense_targets(rng, invisible=invisible)
+    outs = _stacked_outputs(rng)
+    Lyr = outs["pred_masks"].shape[0]
+
+    matcher = HungarianMatcher(cost_con=0.0, cost_dice=5.0, cost_cls=2.0,
+                               cost_box=2.0, cost_giou=2.0, num_classes=1)
+    weight_dict = {"loss_dice": 5.0, "loss_sigmoid_focal": 2.0,
+                   "loss_con": 1.0, "loss_cls": 2.0, "loss_bbox": 2.0,
+                   "loss_giou": 2.0}
+    ref_criterion = SetCriterion(matcher, weight_dict, eos_coef=0.1,
+                                 text_refer=True, num_classes=1)
+
+    def ref_layer(i):
+        return {
+            "pred_masks": torch.from_numpy(outs["pred_masks"][i]),
+            "pred_boxes": torch.from_numpy(outs["pred_boxes"][i]),
+            "pred_cls": torch.from_numpy(outs["pred_cls"][i]),
+            "pred_logit": torch.from_numpy(outs["pred_logit"][i]),
+            "text_sentence_feature": torch.from_numpy(
+                outs["text_sentence_feature"]),
+        }
+
+    ref_out = ref_layer(Lyr - 1)
+    ref_out["aux_outputs"] = [ref_layer(i) for i in range(Lyr - 1)]
+    with torch.no_grad():
+        ref_losses = {k: float(v)
+                      for k, v in ref_criterion(
+                          ref_out, _targets_to_reference(tg)).items()}
+
+    cfg = CriterionConfig()
+    mine = compute_criterion(
+        {k: jnp.asarray(v) for k, v in outs.items()},
+        {k: jnp.asarray(v) for k, v in tg.items()},
+        cfg,
+    )
+    mine = {k: float(v) for k, v in mine.items()}
+
+    assert set(mine) == set(ref_losses), (
+        sorted(set(mine) ^ set(ref_losses)))
+    for k in sorted(ref_losses):
+        assert abs(mine[k] - ref_losses[k]) <= 1e-3 + 1e-3 * abs(ref_losses[k]), (
+            k, mine[k], ref_losses[k])
+
+
+# ------------------------------------------------------ SOC end-to-end
+
+
+def test_soc_end_to_end_vs_reference():
+    """Full-model activation parity: the actual reference SOC (video-swin-t
+    backbone, tiny RoBERTa, deformable transformer, VOC, dynamic mask head —
+    reference models/soc.py:184-394) vs our flax SOC with weights converted
+    by training/convert.py. Locks every layout convention in the converter
+    and every module's semantics end to end. B=1 because the reference VOC
+    regroup is only correct there (models/voc.py:282)."""
+    import types
+
+    import models.soc as ref_soc_mod
+    from misc import NestedTensor
+    import transformers
+
+    from neurips2023_soc_tpu.models.soc import SOC
+
+    seed_all(0)
+    # d_model=128: the reference FPN decoder GroupNorms d_model//16 channels
+    # with 8 groups (segmentation.py), so smaller widths cannot instantiate
+    C, Nq, heads = 128, 5, 8
+    T, B, H, W = 3, 1, 64, 96
+    S = 8
+
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=1024, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=514, type_vocab_size=1, pad_token_id=1,
+        layer_norm_eps=1e-5,
+    )
+    ids = np.array([[0, 5, 9, 200, 7, 2, 1, 1]], np.int64)
+    attn_mask = np.array([[1, 1, 1, 1, 1, 1, 0, 0]], np.int64)
+
+    class FakeRobertaModel:
+        @staticmethod
+        def from_pretrained(name):
+            return transformers.RobertaModel(hf_cfg)
+
+    class FakeTokenizer:
+        @staticmethod
+        def from_pretrained(name):
+            tok = types.SimpleNamespace()
+
+            def batch_encode_plus(texts, **kw):
+                return transformers.BatchEncoding({
+                    "input_ids": torch.from_numpy(ids),
+                    "attention_mask": torch.from_numpy(attn_mask),
+                }, tensor_type="pt")
+
+            tok.batch_encode_plus = batch_encode_plus
+            return tok
+
+    ref_config = types.SimpleNamespace(
+        backbone="video-swin-t",
+        use_checkpoint=False,
+        backbone_pretrained_path=None,
+        DeformTransformer=dict(
+            d_model=C, nheads=heads, enc_layers=2, dec_layers=2,
+            dim_feedforward=64, dropout=0.0, num_feature_levels=4,
+            dec_n_points=4, enc_n_points=4, two_stage=False, num_queries=Nq,
+        ),
+        VOC=dict(input_dim=C, window_size=0, num_frame_queries=Nq,
+                 num_frames=T, num_queries=Nq, nheads=heads,
+                 dim_feedforward=64, enc_layers=2, dec_layers=2),
+        num_classes=1, rel_coord=True, with_box_refine=True,
+        mask_kernels_dim=8, controller_layers=3, dynamic_mask_channels=8,
+        vl_loss=True, aux_loss=True,
+        text_encoder_type="roberta-tiny", freeze_text_encoder=True,
+    )
+
+    saved = (ref_soc_mod.RobertaModel, ref_soc_mod.RobertaTokenizerFast)
+    ref_soc_mod.RobertaModel = FakeRobertaModel
+    ref_soc_mod.RobertaTokenizerFast = FakeTokenizer
+    try:
+        ref = ref_soc_mod.SOC(ref_config)
+    finally:
+        ref_soc_mod.RobertaModel, ref_soc_mod.RobertaTokenizerFast = saved
+    ref.eval()
+
+    rng = np.random.RandomState(9)
+    pixels = rng.randn(T, B, H, W, 3).astype(np.float32)
+    pad_mask = np.zeros((T, B, H, W), bool)
+
+    with torch.no_grad():
+        samples = NestedTensor(
+            torch.from_numpy(pixels.transpose(0, 1, 4, 2, 3)).clone(),
+            torch.from_numpy(pad_mask.copy()),
+        )
+        # the reference needs only targets[0][i]['size'] (input size) for
+        # rel-coord scaling (models/soc.py:420-426)
+        size_targets = [({"size": torch.tensor([H, W])},) for _ in range(T)]
+        ref_out = ref(samples, None, ["the parity probe"], size_targets)
+
+    model = SOC(
+        backbone_name="video-swin-t", d_model=C, num_queries=Nq,
+        dim_feedforward=64, enc_layers=2, dec_layers=2,
+        voc_enc_layers=2, voc_dec_layers=2,
+        text_encoder_type="roberta-tiny", dropout=0.0,
+    )
+    jp = jnp.asarray(pixels)
+    jm = jnp.asarray(pad_mask)
+    jids = jnp.asarray(ids.astype(np.int32))
+    jmask = jnp.asarray(attn_mask.astype(np.int32))
+    sizes = jnp.asarray([[H, W]], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jp, jm, jids, jmask,
+                           sample_sizes=sizes)
+    variables, report = convert_submodule(variables, torch_sd(ref))
+    mine = model.apply(variables, jp, jm, jids, jmask, sample_sizes=sizes,
+                       training=False)
+
+    # at inference VOC emits one layer which broadcasts over the decoder
+    # stack on both sides; the reference's top-level dict is the LAST layer
+    # (models/soc.py:385-393), earlier layers live in aux_outputs
+    allclose(np.asarray(mine["pred_cls"][-1]), ref_out["pred_cls"].numpy(),
+             rtol=2e-3, atol=2e-3, msg="e2e pred_cls")
+    allclose(np.asarray(mine["pred_boxes"][-1]), ref_out["pred_boxes"].numpy(),
+             rtol=2e-3, atol=2e-3, msg="e2e pred_boxes")
+    allclose(np.asarray(mine["pred_masks"][-1]), ref_out["pred_masks"].numpy(),
+             rtol=5e-3, atol=5e-3, msg="e2e pred_masks")
+    allclose(np.asarray(mine["pred_logit"][-1]), ref_out["pred_logit"].numpy(),
+             rtol=2e-3, atol=2e-3, msg="e2e pred_logit")
+    for i, aux in enumerate(ref_out.get("aux_outputs", [])):
+        allclose(np.asarray(mine["pred_masks"][i]), aux["pred_masks"].numpy(),
+                 rtol=5e-3, atol=5e-3, msg=f"e2e aux {i} pred_masks")
