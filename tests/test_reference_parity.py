@@ -609,7 +609,7 @@ def test_swin2d_vs_reference():
 # --------------------------------------------------- criterion + matcher
 
 
-def _dense_targets(rng, T=3, B=2, N=1, H=32, W=32, invisible=()):
+def _dense_targets(rng, T=3, B=2, N=1, H=32, W=32, invisible=()):  # noqa: C901
     """Dense target dict in our layout; every reference training workload has
     exactly one annotated instance per sample (the referred object)."""
     masks = np.zeros((T, B, N, H, W), np.float32)
@@ -662,8 +662,13 @@ def _targets_to_reference(tg):
     return out
 
 
-@pytest.mark.parametrize("invisible", [(), ((1, 0), (2, 1))])
-def test_criterion_vs_reference(invisible):
+@pytest.mark.parametrize("T,invisible", [
+    (3, ()), (3, ((1, 0), (2, 1))),
+    # T=1 exercises the reference's separate A2D/pretrain label-cost branch
+    # (models/matcher.py:160-168) and frames_size=1 label loss
+    (1, ()),
+])
+def test_criterion_vs_reference(T, invisible):
     """Loss-value parity of matcher + SetCriterion against the actual
     reference modules (reference models/criterion.py:47-216,
     models/matcher.py:38-112), including aux layers, the visual-linguistic
@@ -674,8 +679,8 @@ def test_criterion_vs_reference(invisible):
         CriterionConfig, compute_criterion)
 
     rng = np.random.RandomState(11)
-    tg = _dense_targets(rng, invisible=invisible)
-    outs = _stacked_outputs(rng)
+    tg = _dense_targets(rng, T=T, invisible=invisible)
+    outs = _stacked_outputs(rng, T=T)
     Lyr = outs["pred_masks"].shape[0]
 
     matcher = HungarianMatcher(cost_con=0.0, cost_dice=5.0, cost_cls=2.0,
