@@ -58,6 +58,55 @@ def _install_stubs():
         ops_misc.interpolate = torch.nn.functional.interpolate
         ops.misc = ops_misc
         tv.ops = ops
+
+        # minimal torchvision.transforms(.functional) for the reference's
+        # DETR-style crop/pad/flip utilities (datasets/transforms.py:7-8)
+        tvt = _mod("torchvision.transforms")
+        tvf = _mod("torchvision.transforms.functional")
+
+        def _pil_crop(img, top, left, height, width):
+            return img.crop((left, top, left + width, top + height))
+
+        def _pil_pad(img, padding):
+            from PIL import Image
+
+            left, top, right, bottom = padding
+            out = Image.new(img.mode,
+                            (img.width + left + right,
+                             img.height + top + bottom))
+            out.paste(img, (left, top))
+            return out
+
+        def _pil_hflip(img):
+            from PIL import Image
+
+            return img.transpose(Image.FLIP_LEFT_RIGHT)
+
+        def _pil_resize(img, size, **kw):
+            if isinstance(size, (list, tuple)):
+                return img.resize(size[::-1])
+            raise NotImplementedError
+
+        tvf.crop = _pil_crop
+        tvf.pad = _pil_pad
+        tvf.hflip = _pil_hflip
+        tvf.resize = _pil_resize
+
+        class _RandomCrop:
+            @staticmethod
+            def get_params(img, output_size):
+                import random as _random
+
+                th, tw = output_size
+                i = _random.randint(0, img.height - th) if img.height > th else 0
+                j = _random.randint(0, img.width - tw) if img.width > tw else 0
+                return i, j, th, tw
+
+        tvt.RandomCrop = _RandomCrop
+        tvt.functional = tvf
+        tv.transforms = tvt
+        sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision.transforms.functional"] = tvf
         models_mod = _mod("torchvision.models")
         mutils = _mod("torchvision.models._utils")
 
