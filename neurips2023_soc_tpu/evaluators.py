@@ -40,26 +40,42 @@ def evaluate_a2d_batches(
 ) -> Dict[str, float]:
     """batches must carry 'image_ids', 'resized_sizes', 'orig_sizes' metadata
     alongside the standard model inputs."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .utils.prefetch import prefetch
 
-    dt_annotations = []
-    # collate the next batch on the host while the chip runs this forward
-    for batch in prefetch(batches):
-        outputs = forward(params, batch)
+    def postprocess(outputs, batch):
         preds = a2d_postprocess(
             outputs,
             batch["pixels"].shape[2:4],
             batch["resized_sizes"],
             batch["orig_sizes"],
         )
+        annos = []
         for image_id, p in zip(batch["image_ids"], preds):
             scores = np.asarray(p["scores"])
             for q in range(len(scores)):
-                dt_annotations.append({
+                annos.append({
                     "image_id": image_id,
                     "segmentation": p["rle_masks"][q],
                     "score": float(scores[q]),
                 })
+        return annos
+
+    dt_annotations = []
+    # pipeline all three stages: collate the next batch (prefetch thread),
+    # run this forward (device, async dispatch), and resize/threshold/RLE
+    # the previous batch (postprocess thread, which is where the device
+    # results are fetched)
+    pending = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        for batch in prefetch(batches):
+            outputs = forward(params, batch)
+            pending.append(ex.submit(postprocess, outputs, batch))
+            if len(pending) > 2:  # bound in-flight device outputs
+                dt_annotations.extend(pending.pop(0).result())
+        for fut in pending:
+            dt_annotations.extend(fut.result())
     # merge per-host predictions (reference trainer.py:290-293 all_gather)
     from .parallel.multihost import gather_objects
 

@@ -252,6 +252,13 @@ def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool):
                 txm = bounds_ref[0, l, p, qa, 2]
                 txn = bounds_ref[0, l, p, qa, 3]
 
+                # NOTE(perf, measured): a lax.cond fast path for 1x1 tile
+                # bounding boxes (single gather, no select, no loop) was
+                # tried and showed no e2e win (59.8 fps vs 58.6-62.4 for
+                # this version across same-day runs — within the chip's
+                # ±6% load-dependent spread); the per-group scalar branch
+                # eats whatever the skipped mask/select saves. Keep the
+                # straight-line nested loop.
                 def ybody(ky, a, tym=tym, txm=txm, txn=txn, ntx=ntx,
                           base=base, LO=LO, tyv=tyv, txv=txv):
                     ty = tym + ky
