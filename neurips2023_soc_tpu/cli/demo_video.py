@@ -73,7 +73,7 @@ def main():
         model, params, text_encoder_type=config.text_encoder_type,
         text_bucket=config.get("text_bucket", 32),
         size_buckets=((frames.shape[1], frames.shape[2]),),
-        time_buckets=tuple(config.get("time_buckets", (8, 16, 32, 64))),
+        time_buckets=config.get("time_buckets"),
     )
     masks = engine.infer_video(frames, text, original_size=raw.shape[1:3])
 

@@ -43,7 +43,7 @@ def main():
     engine = InferenceEngine(
         model, params, text_encoder_type=config.text_encoder_type,
         text_bucket=config.get("text_bucket", 32),
-        time_buckets=tuple(config.get("time_buckets", (8, 16, 32, 64))),
+        time_buckets=config.get("time_buckets"),
     )
     out_root = Path(config.get("output_dir") or "outputs/davis_valid")
 

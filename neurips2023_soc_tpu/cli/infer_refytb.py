@@ -60,7 +60,7 @@ def main():
     engine = InferenceEngine(
         model, params, text_encoder_type=config.text_encoder_type,
         text_bucket=config.get("text_bucket", 32),
-        time_buckets=tuple(config.get("time_buckets", (8, 16, 32, 64))),
+        time_buckets=config.get("time_buckets"),
     )
     out_dir = config.get("output_dir") or "outputs/ytvos_valid"
     t0 = time.time()

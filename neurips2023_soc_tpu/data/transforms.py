@@ -140,7 +140,9 @@ def photometric_distort(frames: List[np.ndarray], rng: random.Random):
             h = np.where(h > 360.0, h - 360.0, h)
             h = np.where(h < 0.0, h + 360.0, h)
             hsv[..., 0] = h
-        hsv[..., 1] = np.clip(hsv[..., 1], 0.0, 1.0)
+        # NO saturation clamp before converting back: the reference converts
+        # with S>1 (cv2 computes c=v*s, m=v-c<0, negative channels) and only
+        # clips at the final uint8 cast — mirrored by the clip below
         img = hsv_to_rgb(hsv)
         if not contrast_first and rng.random() < 0.5:
             img *= rng.uniform(0.5, 1.5)

@@ -31,15 +31,20 @@ from .utils.padded import pick_size_bucket, pick_time_bucket
 DAVIS_PALETTE = b"\x00\x00\x00\x80\x00\x00\x00\x80\x00\x80\x80\x00\x00\x00\x80\x80\x00\x80\x00\x80\x80\x80\x80\x80\x40\x00\x00\xc0\x00\x00\x40\x80\x00\xc0\x80\x00\x40\x00\x80\xc0\x00\x80\x40\x80\x80\xc0\x80\x80"
 
 
+# single source of the clip-length buckets (CLIs pass config overrides or
+# None); largest bucket = whole-video single-forward cap (HBM-bound)
+DEFAULT_TIME_BUCKETS = (8, 16, 32, 64)
+
+
 class InferenceEngine:
     def __init__(self, model, params, text_encoder_type: str = "roberta-base",
                  text_bucket: int = 32,
-                 time_buckets: Sequence[int] = (8, 16, 32, 64),
+                 time_buckets: Optional[Sequence[int]] = None,
                  size_buckets=((360, 640),)):
         self.model = model
         self.params = params
         self.tokenizer = build_tokenizer(text_encoder_type, text_bucket)
-        self.time_buckets = tuple(time_buckets)
+        self.time_buckets = tuple(time_buckets or DEFAULT_TIME_BUCKETS)
         self.size_buckets = tuple(size_buckets)
         self._jitted = {}
 

@@ -217,8 +217,27 @@ def lsa_on_device(C: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     by O(BIG * eps) ≈ 8 — observed to produce suboptimal matches)."""
     C = jnp.clip(jnp.nan_to_num(C.astype(jnp.float32)), -1e6, 1e6)
     C = jnp.where(valid[:, None, :], C, 0.0)
-    # rows must be the small side: solve over C^T (instances assign queries)
-    out = jax.vmap(_lsa_single)(jnp.swapaxes(C, 1, 2))  # (B, N)
+    B, Nq, N = C.shape
+    if N <= Nq:
+        # rows must be the small side (the _lsa_single precondition — more
+        # rows than columns would leave its augmenting search with no free
+        # column and spin the while_loop forever): solve over C^T
+        # (instances assign queries)
+        out = jax.vmap(_lsa_single)(jnp.swapaxes(C, 1, 2))  # (B, N)
+        return jnp.where(valid, out, -1)
+    # More instance slots than queries (never the case in any reference
+    # workload, but legal config-wise): solve queries->instances and invert;
+    # the Nq matched instances get their query, the rest stay -1 — scipy's
+    # rectangular linear_sum_assignment semantics. Here WHICH columns get
+    # matched matters, so invalid columns must be strictly worse than any
+    # valid one — use a dynamic moderate penalty (BIG-scale constants would
+    # wreck the f32 dual updates, see above).
+    big = 2.0 * jnp.max(jnp.abs(C)) + 1.0
+    Cq = jnp.where(valid[:, None, :], C, big)
+    inst4q = jax.vmap(_lsa_single)(Cq)  # (B, Nq) instance per query
+    out = jnp.full((B, N), -1, jnp.int32)
+    out = out.at[jnp.arange(B)[:, None], inst4q].set(
+        jnp.broadcast_to(jnp.arange(Nq, dtype=jnp.int32)[None], (B, Nq)))
     return jnp.where(valid, out, -1)
 
 

@@ -358,7 +358,7 @@ class DeformableTransformer(nn.Module):
         srcs: List[jnp.ndarray],  # per level (B*T, H, W, C)
         masks: List[jnp.ndarray],  # per level (B*T, H, W) True=pad
         pos_embeds: List[jnp.ndarray],  # per level (B*T, H, W, C)
-        query_embed: jnp.ndarray,  # (Nq, C)
+        query_embed: Optional[jnp.ndarray],  # (Nq, C); None when two_stage
         deterministic: bool = True,
     ):
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
@@ -403,7 +403,11 @@ class DeformableTransformer(nn.Module):
                 jnp.isfinite(output_proposals[..., 0]),
                 enc_class[..., 0], -jnp.inf,
             )
-            _, topk_idx = jax.lax.top_k(score, self.two_stage_num_proposals)
+            # clamp to the token count (tiny inputs can have fewer encoder
+            # tokens than the configured proposal count; torch.topk would
+            # raise the same way jax.lax.top_k does)
+            k = min(self.two_stage_num_proposals, score.shape[1])
+            _, topk_idx = jax.lax.top_k(score, k)
             topk_coords_unact = jnp.take_along_axis(
                 enc_coord_unact, topk_idx[..., None], axis=1)
             topk_coords_unact = jax.lax.stop_gradient(topk_coords_unact)

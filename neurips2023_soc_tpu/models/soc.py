@@ -155,10 +155,16 @@ class SOC(nn.Module):
             )
         self.input_proj = projs
 
-        self.query_embed = self.param(
-            "query_embed", nn.initializers.normal(1.0), (self.num_queries, C),
-            jnp.float32,
-        )
+        if not self.two_stage:
+            self.query_embed = self.param(
+                "query_embed", nn.initializers.normal(1.0),
+                (self.num_queries, C), jnp.float32,
+            )
+        else:
+            # two-stage derives its queries from top-k encoder proposals —
+            # a learned query embedding would be a dead, trained-nowhere
+            # parameter (mirrors the transformer's reference_points gating)
+            self.query_embed = None
 
         bias_value = -math.log((1 - 0.01) / 0.01)
         num_pred = self.dec_layers

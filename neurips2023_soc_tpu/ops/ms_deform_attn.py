@@ -11,9 +11,10 @@ Implementation: patch-table flat gathers (see ms_deform_attn_xla docstring) —
 TPU gathers are row-rate-bound, so each sample reads ONE (4*D)-wide row
 holding its whole 2x2 bilinear neighborhood. Gradients come from autodiff
 (the value gradient lowers to scatter-add), with `jax.checkpoint` so the
-multi-GB gathered tensor is recomputed instead of saved. An in-VMEM Pallas
-gather kernel (impl='pallas') is blocked by a Mosaic dynamic_gather compiler
-crash on this toolchain (BENCH_NOTES.md); the hook remains for when it works.
+multi-GB gathered tensor is recomputed instead of saved. The in-VMEM Pallas
+kernel (ops/pallas_msda.py, impl='pallas') is the single-TPU-chip default via
+impl='auto' (+25% end-to-end, BENCH_NOTES.md); this XLA path remains the
+oracle, the CPU/multi-chip implementation, and the backward (custom_vjp).
 
 Shapes (channels-last, head-major):
   value:               (B, S, M, D)   S = sum(H_l*W_l)
@@ -41,9 +42,24 @@ def level_start_index(spatial_shapes: SpatialShapes) -> Tuple[int, ...]:
     return tuple(starts)
 
 
-def _slot_weights(q: jnp.ndarray, f: jnp.ndarray, a: jnp.ndarray,
-                  q0: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Weights of the two patch slots along one axis.
+def bilinear_anchors(x: jnp.ndarray, y: jnp.ndarray, H: int, W: int):
+    """floor/frac/clip decisions for the 2x2 patch anchor, shared by the XLA
+    path and the Pallas kernel so both make bit-identical f32 decisions.
+    Returns (ax, ay, fx, fy, x0i, y0i)."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    ax = jnp.clip(x0i, 0, max(W - 2, 0))
+    ay = jnp.clip(y0i, 0, max(H - 2, 0))
+    return ax, ay, fx, fy, x0i, y0i
+
+
+def slot_weight_pair(f: jnp.ndarray, a: jnp.ndarray, q0: jnp.ndarray,
+                     size: int):
+    """(w0, w1): bilinear weights of the two patch slots along one axis —
+    the single source of truth for both the XLA path and the Pallas kernel.
 
     q0 = floor(coord) (int), f = frac, a = clip(q0, 0, size-2) anchor.
     slot k holds coordinate a+k; its weight is (1-f) if a+k == q0, f if
@@ -62,7 +78,13 @@ def _slot_weights(q: jnp.ndarray, f: jnp.ndarray, a: jnp.ndarray,
         if k == 1 and size == 1:
             wk = jnp.zeros_like(wk)
         w.append(wk)
-    return jnp.stack(w, axis=-1)  # (..., 2)
+    return w[0], w[1]
+
+
+def _slot_weights(q: jnp.ndarray, f: jnp.ndarray, a: jnp.ndarray,
+                  q0: jnp.ndarray, size: int) -> jnp.ndarray:
+    w0, w1 = slot_weight_pair(f, a, q0, size)
+    return jnp.stack([w0, w1], axis=-1)  # (..., 2)
 
 
 def ms_deform_attn_xla(
@@ -116,14 +138,7 @@ def ms_deform_attn_xla(
     for l, (H, W) in enumerate(spatial_shapes):
         x = loc[:, :, :, l, :, 0] * W - 0.5  # (B, Lq, M, P)
         y = loc[:, :, :, l, :, 1] * H - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        ax = jnp.clip(x0i, 0, max(W - 2, 0))
-        ay = jnp.clip(y0i, 0, max(H - 2, 0))
+        ax, ay, fx, fy, x0i, y0i = bilinear_anchors(x, y, H, W)
         anchor_levels.append(ay * W + ax + starts[l])
         wx = _slot_weights(x, fx, ax, x0i, W)  # (B, Lq, M, P, 2)
         wy = _slot_weights(y, fy, ay, y0i, H)
@@ -179,9 +194,12 @@ def ms_deform_attn(
         # (BENCH_NOTES.md); under a multi-device pjit the XLA formulation is
         # used until the kernel is taught SPMD partitioning, and on CPU the
         # XLA path is both the oracle and the faster interpreter
+        # only TPU backends can lower the Mosaic kernel ("axon" is the
+        # tunneled TPU plugin on this image); GPU/CPU fall back to XLA
         impl = (
             "pallas"
-            if jax.default_backend() != "cpu" and jax.device_count() == 1
+            if jax.default_backend() in ("tpu", "axon")
+            and jax.device_count() == 1
             else "xla"
         )
     if impl == "pallas":

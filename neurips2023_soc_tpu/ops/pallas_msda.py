@@ -145,31 +145,12 @@ def _build_tables(value: jnp.ndarray, spatial_shapes: SpatialShapes,
     return jnp.concatenate(tables, axis=1)
 
 
-def _anchors(x, y, H: int, W: int):
-    """Shared anchor math (identical, op-by-op, to the XLA path so both
-    implementations make bit-identical floor/clip decisions in f32)."""
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx, fy = x - x0, y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    ax = jnp.clip(x0i, 0, max(W - 2, 0))
-    ay = jnp.clip(y0i, 0, max(H - 2, 0))
-    return ax, ay, fx, fy, x0i, y0i
-
-
-def _slot_w(f, a, q0, size):
-    """(w_k for k=0,1): bilinear weight of patch slot a+k along one axis.
-    size == 1: slot 1 sits out of bounds (the rolled table wraps) — force
-    its weight to zero, matching grid_sample zero padding (static branch)."""
-    out = []
-    for k in (0, 1):
-        qq = a + k
-        wk = jnp.where(qq == q0, 1.0 - f, jnp.where(qq == q0 + 1, f, 0.0))
-        if k == 1 and size == 1:
-            wk = jnp.zeros_like(wk)
-        out.append(wk)
-    return out
+# single source of truth with the XLA path: both implementations must make
+# bit-identical f32 floor/clip/weight decisions (the backward recomputes
+# through the XLA formulation via custom_vjp); duplicating this math already
+# caused one fix (the size-1 degenerate-axis slot) to need applying twice.
+from .ms_deform_attn import bilinear_anchors as _anchors  # noqa: E402
+from .ms_deform_attn import slot_weight_pair as _slot_w  # noqa: E402
 
 
 def _transpose_inputs(sampling_locations, attention_weights, spatial_shapes,

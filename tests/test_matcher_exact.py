@@ -96,3 +96,34 @@ def test_lsa_under_jit_and_grad_free():
     out = np.asarray(f(jnp.asarray(C), jnp.asarray(valid)))
     assert out.shape == (2, 4)
     _check_batch(C, valid)
+
+
+@pytest.mark.parametrize("Nq,N", [(5, 9), (3, 12), (8, 20)])
+def test_lsa_more_instances_than_queries(Nq, N):
+    """N > Nq (never hit by any reference workload, but legal config-wise):
+    the solver must terminate (the naive C^T solve would spin the augmenting
+    while_loop forever) and return scipy's rectangular semantics — Nq
+    instances matched injectively, the rest -1, at the scipy-optimal cost
+    over the valid columns."""
+    rng = np.random.RandomState(Nq * 7 + N)
+    for it in range(2):
+        B = 16
+        C = rng.randn(B, Nq, N).astype(np.float32) * 10.0
+        valid = rng.rand(B, N) < 0.8
+        valid[:, 0] = True  # at least one valid column
+        out = np.asarray(lsa_on_device(jnp.asarray(C), jnp.asarray(valid)))
+        for b in range(B):
+            q = out[b]
+            assert (q[~valid[b]] == -1).all()
+            matched = np.nonzero(q >= 0)[0]
+            sel = q[matched]
+            assert len(set(sel.tolist())) == len(sel), "not injective"
+            n_valid = int(valid[b].sum())
+            assert len(matched) == min(Nq, n_valid)
+            mine = sum(C[b][q[j], j] for j in matched)
+            cols = np.nonzero(valid[b])[0]
+            rows, col_idx = linear_sum_assignment(C[b][:, cols])
+            ref = C[b][rows, cols[col_idx]].sum()
+            assert np.isclose(mine, ref, rtol=1e-5, atol=1e-4), (
+                f"suboptimal: {mine} vs scipy {ref} (b={b})"
+            )

@@ -33,6 +33,14 @@ def test_hsv_matches_cv2():
     np.testing.assert_allclose(ours, ref, atol=1e-3)
     back = cv2.cvtColor(ours.astype(np.float32), cv2.COLOR_HSV2RGB)
     np.testing.assert_allclose(hsv_to_rgb(ours), back, atol=1e-5)
+    # supersaturated (S > 1, as RandomSaturation produces): the reference
+    # converts without clamping — negative channels appear and are clipped
+    # only at the end; our conversion must match cv2 there too
+    over = ours.copy()
+    over[..., 1] *= 1.5
+    back_over = cv2.cvtColor(over.astype(np.float32), cv2.COLOR_HSV2RGB)
+    np.testing.assert_allclose(hsv_to_rgb(over), back_over, atol=1e-4)
+    assert back_over.min() < 0  # the case is actually exercised
 
 
 def test_hue_shift_360_is_identity():
