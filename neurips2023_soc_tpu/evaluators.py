@@ -101,10 +101,11 @@ def evaluate_coco_pretrain_batches(
     )
     from .models.postprocessing import a2d_postprocess, coco_topk_device_step
 
-    dt_annotations = []
-    dt_boxes_by_img: Dict = {}
-    for batch in batches:
-        outputs = forward(params, batch)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .utils.prefetch import prefetch
+
+    def postprocess(outputs, batch):
         preds = a2d_postprocess(
             outputs, batch["pixels"].shape[2:4],
             batch["resized_sizes"], batch["orig_sizes"],
@@ -114,20 +115,42 @@ def evaluate_coco_pretrain_batches(
         )
         scores_k = np.asarray(scores_k)
         boxes_k = np.asarray(boxes_k)
+        annos, boxes_by_img = [], {}
         for b, (image_id, p) in enumerate(zip(batch["image_ids"], preds)):
             sc = np.asarray(p["scores"])
             for q in range(len(sc)):
-                dt_annotations.append({
+                annos.append({
                     "image_id": image_id,
                     "segmentation": p["rle_masks"][q],
                     "score": float(sc[q]),
                 })
             oh, ow = batch["orig_sizes"][b]
             scale = np.array([ow, oh, ow, oh], np.float32)
-            dt_boxes_by_img[image_id] = [
+            boxes_by_img[image_id] = [
                 {"box": boxes_k[b, k] * scale, "score": float(scores_k[b, k])}
                 for k in range(boxes_k.shape[1])
             ]
+        return annos, boxes_by_img
+
+    dt_annotations = []
+    dt_boxes_by_img: Dict = {}
+
+    def collect(fut):
+        annos, boxes_by_img = fut.result()
+        dt_annotations.extend(annos)
+        dt_boxes_by_img.update(boxes_by_img)
+
+    # same 3-stage pipeline as the A2D evaluator: collate next (prefetch
+    # thread) / device forward (async) / host postprocess (worker thread)
+    pending = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        for batch in prefetch(batches):
+            outputs = forward(params, batch)
+            pending.append(ex.submit(postprocess, outputs, batch))
+            if len(pending) > 2:
+                collect(pending.pop(0))
+        for fut in pending:
+            collect(fut)
     metrics = evaluate_coco_map(gt_annotations, dt_annotations)
     metrics.update(precision_at_k_and_iou(gt_annotations, dt_annotations))
     metrics.update(evaluate_refexp_recall(gt_boxes_by_img, dt_boxes_by_img))
