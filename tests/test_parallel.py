@@ -51,3 +51,36 @@ def test_multistep_schedule():
     assert np.isclose(sched(0), 1e-4)
     assert np.isclose(sched(150), 1e-5)
     assert np.isclose(sched(250), 1e-6)
+
+
+def test_time_sharded_inference_matches_single_device():
+    """Whole-video SP analog (SURVEY §2.3, VERDICT round-1 item 4): a clip's
+    frames sharded over the mesh 'data' axis must produce the same outputs
+    as unsharded execution — per-frame stages run fully parallel (time is
+    folded into batch rows) and XLA inserts the collectives for the
+    cross-frame VOC attention."""
+    from tests.test_model import tiny_soc
+    from neurips2023_soc_tpu.parallel.mesh import make_mesh, time_sharding
+
+    model = tiny_soc()
+    T, B, H, W, S = 8, 1, 48, 64, 8
+    rng = np.random.RandomState(3)
+    pixels = rng.randn(T, B, H, W, 3).astype(np.float32)
+    pad = np.zeros((T, B, H, W), bool)
+    ids = rng.randint(3, 1000, size=(B, S)).astype(np.int32)
+    msk = np.ones((B, S), np.int32)
+
+    params = model.init(jax.random.PRNGKey(0), pixels, pad, ids, msk)
+    ref = model.apply(params, pixels, pad, ids, msk)
+
+    mesh = make_mesh(shape=(8,), axis_names=("data",))
+    sh = time_sharding(mesh)
+    px = jax.device_put(pixels, sh)
+    pm = jax.device_put(pad, sh)
+    with mesh:
+        out = jax.jit(model.apply)(params, px, pm, ids, msk)
+
+    for k in ("pred_cls", "pred_boxes", "pred_masks", "pred_logit"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=2e-4, atol=2e-4,
+            err_msg=k)
