@@ -270,6 +270,7 @@ def ms_deform_attn_pallas(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     interpret: bool | None = None,
+    qpb_max: int = 8,
 ) -> jnp.ndarray:
     """Drop-in replacement for `ms_deform_attn_xla` (same shapes/semantics).
 
@@ -289,8 +290,11 @@ def ms_deform_attn_pallas(
     lqw = len(_tile_major_perm(spatial_shapes)[0]) if permuted else Lq
     nqb_raw = _cdiv(lqw, LANES)
     # q-blocks per grid step: bound per-step VMEM and the statically-unrolled
-    # kernel body while keeping DMAs chunky
-    qpb = min(8, nqb_raw)
+    # kernel body while keeping DMAs chunky. 8 is A/B-tested optimal on v5e
+    # (81 vs 85-88 ms for 16 at the flagship shape, back-to-back runs);
+    # Mosaic block specs need the sublane dim divisible by 8, so 4 is
+    # unlowerable anyway
+    qpb = min(qpb_max, nqb_raw)
     nqb = _cdiv(nqb_raw, qpb) * qpb
     qs_steps = nqb // qpb
 
