@@ -26,7 +26,9 @@ def main():
     parser = add_config_args(argparse.ArgumentParser("Ref-DAVIS inference"))
     args = parser.parse_args()
     config = config_from_args(args)
+    from ..parallel import initialize_distributed
 
+    initialize_distributed(config)  # enables cross-host video sharding
     dataset = ReferDAVISDataset(
         "valid", config.img_folder,
         transforms_kwargs=dict(eval_short_size=config.eval_short_size,

@@ -50,28 +50,61 @@ def build_train_dataset(config):
     raise ValueError(f"unsupported train dataset {name}")
 
 
-def make_batch_iterator(dataset, config, tokenizer):
+def make_batch_iterator(dataset, config, tokenizer, num_hosts=None,
+                        host_id=None):
+    """Per-epoch shuffled batch iterator with per-host sharding and a
+    multi-worker sample loader.
+
+    Sharding (reference trainer.py:74-82 DistributedSampler): every host
+    computes the same epoch permutation, takes its `host_id::num_hosts`
+    stride, and yields LOCAL batches of batch_size/num_hosts samples; the k-th
+    local batches across hosts are exactly the k-th global batch (assembled
+    into one global array by parallel.shard_batch).
+
+    Loading (reference trainer.py:82-88 DataLoader(num_workers)): samples for
+    upcoming batches decode on config.num_workers threads, ordered and
+    deterministic per epoch seed.
+    """
+    import jax
+
+    from ..data.sampler import ShardedEpochSampler
+    from ..utils.prefetch import parallel_map
+
     # one static (T, H, W) bucket derived from the training transform sizes
     # keeps every epoch on a single compiled program
     size_buckets = ((config.train_short_size, config.train_max_size),)
     time_buckets = (config.window_size,)
+    num_hosts = num_hosts if num_hosts is not None else jax.process_count()
+    host_id = host_id if host_id is not None else jax.process_index()
+    bs = int(config.batch_size)
+    assert bs % num_hosts == 0, (
+        f"global batch_size={bs} must divide over {num_hosts} hosts")
+    local_bs = bs // num_hosts
+    num_workers = int(config.get("num_workers", 0) or 0)
+    sampler = ShardedEpochSampler(len(dataset), num_hosts, host_id,
+                                  shuffle=True, seed=config.seed)
 
     def train_batches(epoch: int):
-        rng = np.random.RandomState(config.seed + epoch)
-        order = rng.permutation(len(dataset))
-        bs = config.batch_size
-        for start in range(0, len(order) - bs + 1, bs):
-            samples = [dataset[int(i)] for i in order[start : start + bs]]
-            yield collate_batch(samples, tokenizer,
-                                size_buckets=size_buckets,
-                                time_buckets=time_buckets)
+        sampler.set_epoch(epoch)
+        order = list(sampler)
+        order = order[: (len(order) // local_bs) * local_bs]
+        batch = []
+        for s in parallel_map(dataset.__getitem__, order, num_workers):
+            batch.append(s)
+            if len(batch) == local_bs:
+                yield collate_batch(batch, tokenizer,
+                                    size_buckets=size_buckets,
+                                    time_buckets=time_buckets)
+                batch = []
 
     return train_batches
 
 
-def build_evaluator(config, tokenizer):
-    """Per-epoch eval hook (A2D/JHMDB COCO protocol; YTVOS has no public GT,
-    the reference checkpoints on train loss there — same here)."""
+def build_evaluator(config, tokenizer, model=None):
+    """Per-epoch eval hook. A2D/JHMDB: COCO-protocol mAP. Ref-YTVOS: the
+    reference runs valid-split inference -> PNG masks -> submission zip every
+    epoch (trainer.py:315-354; no public GT, so checkpoint selection stays on
+    train loss) — same here, gated on the valid split being on disk."""
     name = config.dataset_name
     tk = dict(eval_short_size=config.eval_short_size,
               eval_max_size=config.eval_max_size)
@@ -92,6 +125,16 @@ def build_evaluator(config, tokenizer):
                                         transforms_kwargs=tk)
         return build_a2d_evaluator(val, tokenizer,
                                    eval_batch_size=config.eval_batch_size)
+    if name == "ref_youtube_vos" and model is not None:
+        from os import path
+
+        from ..evaluators import build_ytvos_evaluator
+
+        if not path.exists(path.join(config.img_folder, "valid")):
+            print("Ref-YTVOS valid split not found under "
+                  f"{config.img_folder} — skipping per-epoch eval")
+            return None
+        return build_ytvos_evaluator(model, config)
     return None
 
 
@@ -99,7 +142,9 @@ def main():
     parser = add_config_args(argparse.ArgumentParser("SOC TPU training"))
     args = parser.parse_args()
     config = config_from_args(args)
+    from ..parallel import initialize_distributed
 
+    initialize_distributed(config)
     tokenizer = build_tokenizer(config.text_encoder_type,
                                 config.get("text_bucket", 32))
     dataset = build_train_dataset(config)
@@ -108,8 +153,10 @@ def main():
         config,
         train_batches=make_batch_iterator(dataset, config, tokenizer),
         steps_per_epoch=steps_per_epoch,
-        evaluate_fn=build_evaluator(config, tokenizer),
     )
+    # the YTVOS evaluator drives the trainer's model through the inference
+    # engine, so it's attached after construction
+    trainer.evaluate_fn = build_evaluator(config, tokenizer, trainer.model)
     if args.running_mode == "resume_train":
         first = next(iter(trainer.train_batches(0)))
         trainer.load_checkpoint(sample_batch=first)
@@ -117,6 +164,10 @@ def main():
     elif args.running_mode == "train":
         trainer.train()
     elif args.running_mode == "test":
+        if trainer.evaluate_fn is None:
+            raise SystemExit(
+                f"no evaluator available for dataset '{config.dataset_name}' "
+                "(is the valid split on disk?)")
         first = next(iter(trainer.train_batches(0)))
         if config.get("checkpoint_path"):
             trainer.load_checkpoint(sample_batch=first)

@@ -18,7 +18,9 @@ def main():
     parser.add_argument("--coco_folder", default="data/coco")
     args = parser.parse_args()
     config = config_from_args(args)
+    from ..parallel import initialize_distributed
 
+    initialize_distributed(config)
     ytvos = ReferYouTubeVOSDataset(
         "train", config.img_folder, window_size=config.window_size,
         transforms_kwargs=dict(
@@ -43,6 +45,15 @@ def main():
         train_batches=make_batch_iterator(dataset, config, tokenizer),
         steps_per_epoch=len(dataset) // config.batch_size,
     )
+    # the joint trainer evaluates on Ref-YTVOS only (reference
+    # jointtrainer.py evaluate_refer_youtube_vos): per-epoch valid-split
+    # inference -> submission zip, gated on the valid split being on disk
+    from os import path
+
+    if path.exists(path.join(config.img_folder, "valid")):
+        from ..evaluators import build_ytvos_evaluator
+
+        trainer.evaluate_fn = build_ytvos_evaluator(trainer.model, config)
     if args.running_mode == "resume_train":
         first = next(iter(trainer.train_batches(0)))
         trainer.load_checkpoint(sample_batch=first)

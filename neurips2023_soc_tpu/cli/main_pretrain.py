@@ -44,10 +44,33 @@ def build_pretrain_dataset(config):
     return ConcatClipDataset(parts)
 
 
+def build_pretrain_evaluate_fn(config, tokenizer):
+    """Per-epoch validation over every RefCOCO split whose val json exists
+    (reference pretrainer.py:87-108 builds the val tuples, 262-286 runs them
+    every epoch). Returns None when no val annotations are present."""
+    from ..data.coco_ref import build_refcoco_val_datasets
+    from ..evaluators import build_pretrain_evaluator
+
+    val_sets = build_refcoco_val_datasets(config)
+    if not val_sets:
+        print("no RefCOCO val annotation files found — checkpointing by "
+              "train loss only")
+        return None
+    print(f"pretrain validation on: {[name for name, _ in val_sets]}")
+    return build_pretrain_evaluator(
+        val_sets, tokenizer,
+        eval_batch_size=config.eval_batch_size,
+        size_buckets=((config.eval_short_size, config.eval_max_size),),
+    )
+
+
 def main():
     parser = add_config_args(argparse.ArgumentParser("SOC RefCOCO pretraining"))
     args = parser.parse_args()
     config = config_from_args(args)
+    from ..parallel import initialize_distributed
+
+    initialize_distributed(config)
     tokenizer = build_tokenizer(config.text_encoder_type,
                                 config.get("text_bucket", 32))
     dataset = build_pretrain_dataset(config)
@@ -55,11 +78,24 @@ def main():
         config,
         train_batches=make_batch_iterator(dataset, config, tokenizer),
         steps_per_epoch=len(dataset) // config.batch_size,
+        evaluate_fn=build_pretrain_evaluate_fn(config, tokenizer),
     )
     if args.running_mode == "resume_train":
         first = next(iter(trainer.train_batches(0)))
         trainer.load_checkpoint(sample_batch=first)
-    trainer.train()
+        trainer.train()
+    elif args.running_mode == "test":
+        assert trainer.evaluate_fn is not None, \
+            "no RefCOCO val annotations found — nothing to evaluate"
+        first = next(iter(trainer.train_batches(0)))
+        if config.get("checkpoint_path"):
+            trainer.load_checkpoint(sample_batch=first)
+        else:
+            trainer.init_state(first)
+        metrics = trainer.evaluate_fn(trainer._forward, trainer._state.params, 0)
+        print(metrics)
+    else:
+        trainer.train()
 
 
 if __name__ == "__main__":

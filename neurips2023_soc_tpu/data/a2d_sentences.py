@@ -23,19 +23,44 @@ def get_image_id(video_id: str, frame_idx: int, ref_instance_a2d_id: int) -> str
     return f"v_{video_id}_f_{frame_idx}_i_{ref_instance_a2d_id}"
 
 
-def read_video_frames_cv2(video_path: str) -> np.ndarray:
-    """Decode a whole mp4 to (T, H, W, 3) float32 RGB in [0,1]."""
+def read_video_frames_cv2(video_path: str, start: Optional[int] = None,
+                          end: Optional[int] = None) -> np.ndarray:
+    """Decode frames [start, end) of an mp4 to (T, H, W, 3) float32 RGB in
+    [0,1]; whole video when no range is given.
+
+    The reference decodes the ENTIRE clip per training sample
+    (read_video at reference a2d_sentences_dataset.py:119) — for an 8-frame
+    window of a multi-hundred-frame clip that is almost all wasted host work.
+    Seeking with CAP_PROP_POS_FRAMES decodes only the window."""
     import cv2
 
     cap = cv2.VideoCapture(video_path)
+    if start is not None and start > 0:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+        # seek can silently fail on some containers: verify, else fall back
+        if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != start:
+            cap.release()
+            cap = cv2.VideoCapture(video_path)
+            for _ in range(start):
+                cap.grab()
+    n = None if end is None else end - (start or 0)
     frames = []
-    while True:
+    while n is None or len(frames) < n:
         ok, frame = cap.read()
         if not ok:
             break
         frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
     cap.release()
     return np.stack(frames).astype(np.float32) / 255.0
+
+
+def video_frame_count(video_path: str) -> int:
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    return n
 
 
 def build_text_annotations(root_path: str, subset: str,
@@ -103,12 +128,22 @@ class A2DSentencesDataset:
 
         text, video_id, frame_idx, instance_id = self.text_annotations[idx]
         text = " ".join(text.lower().split())
-        video = read_video_frames_cv2(
-            path.join(self.videos_dir, f"{video_id}.mp4"))
+        video_path = path.join(self.videos_dir, f"{video_id}.mp4")
         # window centered on the (1-indexed) annotated frame
         start = frame_idx - 1 - self.window_size // 2
         end = frame_idx - 1 + (self.window_size + 1) // 2
-        frames = [video[min(max(i, 0), len(video) - 1)] for i in range(start, end)]
+        n_frames = video_frame_count(video_path)
+        if n_frames > 0:
+            # decode only the clamped window, not the whole clip
+            lo = min(max(start, 0), n_frames - 1)
+            hi = min(max(end, lo + 1), n_frames)
+            video = read_video_frames_cv2(video_path, lo, hi)
+            offset = lo
+        else:  # unreliable frame count: decode everything (reference behavior)
+            video = read_video_frames_cv2(video_path)
+            offset = 0
+        frames = [video[min(max(i - offset, 0), len(video) - 1)]
+                  for i in range(start, end)]
 
         with h5py.File(path.join(self.mask_annotations_dir, video_id,
                                  f"{frame_idx:05d}.h5"), "r") as f:

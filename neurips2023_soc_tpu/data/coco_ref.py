@@ -138,6 +138,7 @@ class RefCOCOClipDataset:
         self.img_folder = img_folder
         self.num_frames = num_frames if as_clip else 1
         self.as_clip = as_clip
+        self.train = subset_type == "train"
         self.rng = random.Random(seed)
         self.augmenter = ImageToSeqAugmenter(rng=self.rng)
         self.transforms = VideoTransforms(subset_type, **(transforms_kwargs or {}))
@@ -146,6 +147,9 @@ class RefCOCOClipDataset:
         return len(self.items)
 
     def __getitem__(self, idx: int) -> Dict:
+        if not self.train:
+            # eval must visit every image exactly once — no resampling
+            return self._load(idx)
         for _ in range(20):  # resample if referred instance never visible
             sample = self._load(idx)
             if sample["is_visible"].any():
@@ -198,6 +202,77 @@ class RefCOCOClipDataset:
             "image_id": image_id,
             "orig_size": (h, w),
         }
+
+
+REFCOCO_NAMES = ("refcoco", "refcoco+", "refcocog")
+
+
+def find_refcoco_ann_file(name: str, subset: str, ann_root: str,
+                          img_folder: str) -> Optional[str]:
+    """Resolve the annotation json for a RefCOCO split. Tries the reference's
+    layout `{ann_root}/{name}/instances_{name}_{subset}.json` (reference
+    pretrainer.py:405-410 / datasets/__init__.py:26-29) then the MDETR-style
+    `{img_folder}/annotations/{finetune|instances}_{name}_{subset}.json`."""
+    candidates = [
+        path.join(ann_root, name, f"instances_{name}_{subset}.json"),
+        path.join(img_folder, "annotations", f"instances_{name}_{subset}.json"),
+        path.join(img_folder, "annotations", f"finetune_{name}_{subset}.json"),
+    ]
+    for c in candidates:
+        if c and path.exists(c):
+            return c
+    return None
+
+
+def build_refcoco_val_datasets(config) -> List[Tuple[str, "RefCOCOClipDataset"]]:
+    """Single-frame (T=1) validation datasets for the three RefCOCO splits
+    (reference refercoco.py:12-50 ModulatedDetection + pretrainer.py:87-108
+    val_tuples). Returns [(name, dataset)] for every split whose val json
+    exists."""
+    tk = dict(
+        horizontal_flip_augmentations=False,
+        resize_and_crop_augmentations=True,
+        random_color=False,
+        eval_short_size=config.eval_short_size,
+        eval_max_size=config.eval_max_size,
+    )
+    out = []
+    for name in REFCOCO_NAMES:
+        ann = find_refcoco_ann_file(name, "val", config.get("ann_file", ""),
+                                    config.img_folder)
+        if ann is None:
+            continue
+        out.append((name, RefCOCOClipDataset(
+            ann, path.join(config.img_folder, "train2014"),
+            subset_type="valid", transforms_kwargs=tk, as_clip=False,
+        )))
+    return out
+
+
+def build_refcoco_gt(dataset: "RefCOCOClipDataset"):
+    """COCO-format GT straight from the val json annotations, in ORIGINAL
+    image coordinates (predictions are mapped back to orig size by the
+    postprocessor). Returns (gt_annotations, gt_boxes_by_img) for
+    evaluators.evaluate_coco_pretrain_batches."""
+    gt_annotations: List[Dict] = []
+    gt_boxes_by_img: Dict[int, np.ndarray] = {}
+    for image_id, anns in dataset.items:
+        im = dataset.imgs[image_id]
+        h, w = im["height"], im["width"]
+        ann = anns[0]  # one referred instance per image in refexp jsons
+        mask = ann_to_mask(ann, h, w)
+        from ..evaluation.rle import encode as rle_encode
+
+        gt_annotations.append({
+            "image_id": image_id,
+            "segmentation": rle_encode(mask),
+            "iscrowd": int(ann.get("iscrowd", 0)),
+            "area": float(ann.get("area", int(mask.sum()))),
+        })
+        x, y, bw, bh = ann["bbox"]
+        gt_boxes_by_img[image_id] = np.array(
+            [[x, y, x + bw, y + bh]], np.float32)
+    return gt_annotations, gt_boxes_by_img
 
 
 class ConcatClipDataset:

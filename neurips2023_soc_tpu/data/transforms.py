@@ -141,8 +141,11 @@ def photometric_distort(frames: List[np.ndarray], rng: random.Random):
             h = np.where(h < 0.0, h + 360.0, h)
             hsv[..., 0] = h
         # NO saturation clamp before converting back: the reference converts
-        # with S>1 (cv2 computes c=v*s, m=v-c<0, negative channels) and only
-        # clips at the final uint8 cast — mirrored by the clip below
+        # with S>1 (cv2 computes c=v*s, m=v-c<0, negative channels).
+        # DELIBERATE DEVIATION (COMPONENTS.md bug register): the reference
+        # then casts with numpy astype(uint8), which WRAPS modulo 256 on
+        # out-of-range values (a latent color-corruption bug); the clips here
+        # (to [0,1] before rgb_to_hsv and at the end) saturate instead.
         img = hsv_to_rgb(hsv)
         if not contrast_first and rng.random() < 0.5:
             img *= rng.uniform(0.5, 1.5)

@@ -185,6 +185,101 @@ def build_a2d_evaluator(dataset, tokenizer, eval_batch_size: int = 4,
     return evaluate
 
 
+def build_pretrain_evaluator(val_sets, tokenizer, eval_batch_size: int = 1,
+                             size_buckets=None, text_bucket: int = 32) -> Callable:
+    """Per-epoch RefCOCO/+/g validation hook for Trainer (reference
+    pretrainer.py:262-286 evaluate + 354-434 evaluate_coco): every val split
+    is evaluated each epoch, metrics are prefixed `{name}_`, and the
+    checkpoint-selection scalar `mean_mask_mAP` is the mean of the per-split
+    mask mAPs (pretrainer.py:234-238).
+
+    val_sets: [(name, dataset)] of single-frame (T=1) datasets.
+    """
+    from .data.coco_ref import build_refcoco_gt
+    from .data.collate import collate_batch
+
+    gt_cache: Dict[str, tuple] = {}
+
+    def evaluate(forward, params, epoch: int) -> Dict[str, float]:
+        metrics: Dict[str, float] = {}
+        maps = []
+        for name, ds in val_sets:
+            if name not in gt_cache:
+                gt_cache[name] = build_refcoco_gt(ds)
+            gt_annotations, gt_boxes_by_img = gt_cache[name]
+
+            def batches(ds=ds):
+                for start in range(0, len(ds), eval_batch_size):
+                    samples = [ds[i] for i in
+                               range(start, min(start + eval_batch_size, len(ds)))]
+                    yield collate_batch(
+                        samples, tokenizer, time_buckets=(1,),
+                        **({"size_buckets": size_buckets} if size_buckets else {}),
+                    )
+
+            m = evaluate_coco_pretrain_batches(
+                forward, params, batches(), gt_annotations, gt_boxes_by_img
+            )
+            maps.append(m.get("mAP 0.5:0.95", 0.0))
+            metrics.update({f"{name}_{k}": v for k, v in m.items()})
+        metrics["mean_mask_mAP"] = float(np.mean(maps)) if maps else 0.0
+        return metrics
+
+    return evaluate
+
+
+def build_ytvos_evaluator(model, config, dataset=None) -> Callable:
+    """Per-epoch Ref-YTVOS valid-split inference hook for Trainer (reference
+    trainer.py:315-354): whole-video forward per expression -> per-frame PNG
+    masks under `validation_outputs/epoch_{N}/Annotations/` -> zipped to
+    `validation_outputs/submission_epoch_{N}.zip` for the competition server,
+    then the uncompressed tree is removed. Returns the zip path as the only
+    "metric" — the server computes J&F (reference returns {} there)."""
+    import shutil
+    import zipfile
+    from pathlib import Path
+
+    from .inference import InferenceEngine
+
+    state: Dict = {"ds": dataset}
+
+    def evaluate(forward, params, epoch: int) -> Dict[str, str]:
+        if state["ds"] is None:
+            from .data.refer_youtube_vos import ReferYouTubeVOSDataset
+
+            state["ds"] = ReferYouTubeVOSDataset(
+                "test", config.img_folder,
+                transforms_kwargs=dict(
+                    eval_short_size=config.eval_short_size,
+                    eval_max_size=config.eval_max_size,
+                ),
+            )
+        if "engine" not in state:
+            state["engine"] = InferenceEngine(
+                model, params,
+                text_encoder_type=config.text_encoder_type,
+                text_bucket=config.get("text_bucket", 32),
+                time_buckets=config.get("eval_time_buckets"),
+                size_buckets=((config.eval_short_size, config.eval_max_size),),
+            )
+        engine = state["engine"]
+        engine.params = params
+
+        out_root = Path(config.get("output_dir")
+                        or f"outputs/{config.dataset_name}") / "validation_outputs"
+        epoch_dir = out_root / f"epoch_{epoch}"
+        evaluate_refer_youtube_vos(engine, state["ds"], str(epoch_dir),
+                                   make_zip=False)
+        zip_path = out_root / f"submission_epoch_{epoch}.zip"
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for p in sorted((epoch_dir / "Annotations").rglob("*.png")):
+                zf.write(p, p.relative_to(epoch_dir))
+        shutil.rmtree(epoch_dir)  # reference trainer.py:350
+        return {"submission_zip": str(zip_path)}
+
+    return evaluate
+
+
 def evaluate_refer_youtube_vos(
     engine,
     dataset,

@@ -17,6 +17,13 @@ def build_model(config):
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if config.get("compute_dtype", "float32") == "bfloat16" else jnp.float32
+    if dt.get("two_stage", False):
+        # reference quirk, reproduced (COMPONENTS.md bug register): enc-stage
+        # class/bbox heads get NO loss (enc_outputs are dropped by SOC), so
+        # top-k proposal selection runs on effectively untrained heads
+        print("WARNING: two_stage=true — encoder proposal heads receive no "
+              "supervision (reference soc.py:288 drops enc_outputs); expect "
+              "untrained top-k proposal selection if you train this config")
     return SOC(
         backbone_name=config.backbone,
         num_classes=config.num_classes,

@@ -5,3 +5,10 @@ from .mesh import (
     shard_batch,
     time_sharding,
 )
+from .multihost import (
+    barrier,
+    broadcast_object,
+    gather_objects,
+    initialize_distributed,
+    is_main_process,
+)

@@ -56,15 +56,25 @@ def shard_batch(mesh: Mesh, batch: dict, batch_axis_by_key=None) -> dict:
 
     Convention: arrays shaped (T, B, ...) shard axis 1; (B, ...) shard axis 0.
     The heuristic can be overridden per key via batch_axis_by_key.
+
+    Multi-host (process_count > 1): each host holds only its LOCAL slice of
+    the global batch (see cli.main.make_batch_iterator sharding), and the
+    global jax.Array is assembled from the per-process shards —
+    `make_array_from_process_local_data` is the jax.distributed analog of the
+    reference's per-rank DataLoader + DDP pairing (SURVEY.md §2.4).
     """
     batch_axis_by_key = batch_axis_by_key or {}
+    multihost = jax.process_count() > 1
 
     def put(key, x):
         ax = batch_axis_by_key.get(key)
         if ax is None:
             # heuristic: leading time axis present for >=3D video-shaped arrays
             ax = 1 if (x.ndim >= 3 and key in _TIME_LEADING_KEYS) else 0
-        return jax.device_put(x, batch_sharding(mesh, ax))
+        sharding = batch_sharding(mesh, ax)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     # host-side metadata (lists/tuples) stays on host and out of jit
     return {k: put(k, v) for k, v in batch.items() if hasattr(v, "ndim")}

@@ -11,6 +11,42 @@ import jax
 import numpy as np
 
 
+def initialize_distributed(config=None) -> bool:
+    """Multi-host runtime init — the jax.distributed analog of the
+    reference's init_process_group (trainer.py:440-461), except the reference
+    hardcodes single-node NCCL (main.py:12-13) while this scales to pods.
+
+    Called unconditionally at CLI entry. Initializes when a coordinator is
+    configured (env JAX_COORDINATOR_ADDRESS / config keys
+    coordinator_address + num_processes + process_id) or when running under a
+    TPU pod environment where jax.distributed auto-detects. Single-process
+    runs are a no-op. Returns True if distributed was initialized."""
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or (
+        config.get("coordinator_address") if config is not None else None)
+    auto_env = any(k in os.environ for k in
+                   ("MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+    if not addr and not auto_env:
+        return False
+    kwargs = {}
+    if addr:
+        kwargs["coordinator_address"] = addr
+        num = os.environ.get("JAX_NUM_PROCESSES") or (
+            config.get("num_processes") if config is not None else None)
+        pid = os.environ.get("JAX_PROCESS_ID") or (
+            config.get("process_id") if config is not None else None)
+        if num is not None:
+            kwargs["num_processes"] = int(num)
+        if pid is not None:
+            kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)
+    print(f"jax.distributed initialized: process {jax.process_index()}/"
+          f"{jax.process_count()}, {len(jax.local_devices())} local / "
+          f"{len(jax.devices())} global devices")
+    return True
+
+
 def is_main_process() -> bool:
     return jax.process_index() == 0
 

@@ -60,6 +60,12 @@ class CheckpointManager:
     def restore(self, epoch: int, target: Dict[str, Any]) -> Dict[str, Any]:
         return self._ckptr.restore(self._path(epoch).absolute(), target=target)
 
+    def read_meta(self, epoch: int) -> Optional[Dict[str, Any]]:
+        mj = self._path(epoch) / "meta.json"
+        if mj.exists():
+            return json.loads(mj.read_text())
+        return None
+
 
 def load_torch_checkpoint(path: str):
     """Read a torch .pth.tar into a numpy state_dict (CPU torch only)."""

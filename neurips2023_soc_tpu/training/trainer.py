@@ -68,6 +68,7 @@ class Trainer:
         self.evaluate_fn = evaluate_fn
 
         self.dataset_name = config.dataset_name
+        self._is_pretrain = self.dataset_name in ("coco", "coco_refer")
         self.total_epochs = config.epochs
         self.epoch = 0
         self.best_map = 0.0
@@ -76,7 +77,11 @@ class Trainer:
         out_dir = config.get("output_dir") or f"outputs/{config.dataset_name}"
         self.output_dir = Path(out_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
-        self.ckpt = CheckpointManager(self.output_dir / "checkpoints", max_keep=5)
+        # the pretrainer retains 10 checkpoints, the trainers 5 (reference
+        # pretrainer.py:340-345 vs trainer.py:414-420)
+        max_keep = 10 if self._is_pretrain else 5
+        self.ckpt = CheckpointManager(self.output_dir / "checkpoints",
+                                      max_keep=max_keep)
 
         gamma = 0.2 if self.dataset_name == "a2d_sentences" else 0.1
         milestones = config.get("lr_drop", []) or []
@@ -223,6 +228,14 @@ class Trainer:
                 self.best_map = m
                 return True
             return False
+        if self._is_pretrain:
+            # best by mean mask-mAP over the three RefCOCO val splits
+            # (reference pretrainer.py:234-238)
+            m = eval_metrics.get("mean_mask_mAP", 0.0) or 0.0
+            if m > self.best_map:
+                self.best_map = m
+                return True
+            return False
         if epoch_loss < self.best_loss:
             self.best_loss = epoch_loss
             return True
@@ -235,9 +248,13 @@ class Trainer:
             "opt_state": self._state.opt_state,
             "step": np.asarray(self._state.step),
         }
-        self.ckpt.save(self.epoch, state, is_best,
-                       extra={k: v for k, v in extra.items()
-                              if isinstance(v, (int, float, str))})
+        extra = {k: v for k, v in extra.items()
+                 if isinstance(v, (int, float, str))}
+        # persist best tracking so resume restores it exactly (reference
+        # trainer.py:363-378 reads best_mAP/best_loss back from the ckpt)
+        extra["best_map"] = float(self.best_map)
+        extra["best_loss"] = float(self.best_loss)
+        self.ckpt.save(self.epoch, state, is_best, extra=extra)
 
     def load_checkpoint(self, epoch: Optional[int] = None, sample_batch=None):
         if self._state is None:
@@ -256,3 +273,7 @@ class Trainer:
             step=int(restored["step"]),
         )
         self.epoch = epoch + 1
+        meta = self.ckpt.read_meta(epoch)
+        if meta:  # resume best tracking (reference trainer.py:363-378)
+            self.best_map = float(meta.get("best_map", self.best_map))
+            self.best_loss = float(meta.get("best_loss", self.best_loss))

@@ -15,9 +15,48 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator, TypeVar
+from typing import Callable, Iterable, Iterator, Sequence, TypeVar
 
 T = TypeVar("T")
+U = TypeVar("U")
+
+
+def parallel_map(
+    fn: Callable[[T], U],
+    items: Sequence[T],
+    num_workers: int = 4,
+    max_in_flight: int | None = None,
+) -> Iterator[U]:
+    """Ordered parallel map over `items` with bounded in-flight work — the
+    host-side analog of the reference's DataLoader(num_workers) per process
+    (reference trainer.py:82-88). Threads, not processes: the heavy per-sample
+    work (cv2/PIL decode, h5 IO, numpy collation) releases the GIL and items
+    stay in-process (no pickling). Results yield in input order; worker
+    exceptions re-raise at the consuming site. num_workers <= 1 degrades to a
+    plain serial map."""
+    if num_workers <= 1:
+        for it in items:
+            yield fn(it)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    max_in_flight = max_in_flight or 2 * num_workers
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        pending: "queue.SimpleQueue" = queue.SimpleQueue()
+        it = iter(items)
+        n_in_flight = 0
+        done = False
+        while True:
+            while not done and n_in_flight < max_in_flight:
+                try:
+                    pending.put(ex.submit(fn, next(it)))
+                    n_in_flight += 1
+                except StopIteration:
+                    done = True
+            if n_in_flight == 0:
+                return
+            yield pending.get().result()
+            n_in_flight -= 1
 
 
 def prefetch(iterable: Iterable[T], buffer_size: int = 2) -> Iterator[T]:

@@ -169,3 +169,85 @@ def test_ytvos_valid_split(ytvos_root, tmp_path):
     assert "video_metadata" in s and "masks" not in s
     assert s["frames"].shape[0] == 10  # full-length video
     assert s["video_metadata"]["original_frame_size"] == (64, 96)
+
+
+@pytest.fixture(scope="module")
+def a2d_video(tmp_path_factory):
+    """A tiny mp4 whose frame t is a solid gray level 10+20*t (codec-robust)."""
+    import cv2
+
+    d = tmp_path_factory.mktemp("a2d")
+    vp = str(d / "vid0.mp4")
+    vw = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 24))
+    assert vw.isOpened(), "mp4v codec unavailable"
+    for t in range(12):
+        vw.write(np.full((24, 32, 3), 10 + 20 * t, np.uint8))
+    vw.release()
+    return d, vp
+
+
+def _frame_ids(frames):
+    # map decoded frames back to t via the gray-level encoding
+    return [int(round((f.mean() * 255 - 10) / 20)) for f in frames]
+
+
+def test_video_range_decode_matches_full(a2d_video):
+    from neurips2023_soc_tpu.data.a2d_sentences import (
+        read_video_frames_cv2,
+        video_frame_count,
+    )
+
+    _, vp = a2d_video
+    assert video_frame_count(vp) == 12
+    full = read_video_frames_cv2(vp)
+    assert _frame_ids(full) == list(range(12))
+    part = read_video_frames_cv2(vp, 3, 9)
+    assert part.shape[0] == 6
+    np.testing.assert_array_equal(part, full[3:9])
+    # ranges clamped by the caller; end beyond EOF just stops at EOF
+    tail = read_video_frames_cv2(vp, 10, 20)
+    np.testing.assert_array_equal(tail, full[10:])
+
+
+@pytest.mark.parametrize("frame_idx", [1, 6, 12])
+def test_a2d_getitem_window_via_range_decode(a2d_video, frame_idx):
+    """__getitem__ decodes only the window but yields EXACTLY the frames the
+    reference's whole-video decode + clamped indexing produces
+    (reference a2d_sentences_dataset.py:119-122), incl. edge clamping at both
+    ends of the clip."""
+    import h5py
+
+    from neurips2023_soc_tpu.data.a2d_sentences import (
+        A2DSentencesDataset,
+        read_video_frames_cv2,
+    )
+    from neurips2023_soc_tpu.data.transforms import VideoTransforms
+
+    d, vp = a2d_video
+    mask_dir = d / "masks" / "vid0"
+    mask_dir.mkdir(parents=True, exist_ok=True)
+    with h5py.File(mask_dir / f"{frame_idx:05d}.h5", "w") as f:
+        f["instance"] = np.array([7])
+        f["reMask"] = np.zeros((32, 24), np.uint8)  # h5 stores (W, H)
+        f["reMask"][5:15, 8:20] = 1
+
+    ds = A2DSentencesDataset.__new__(A2DSentencesDataset)
+    ds.window_size = 8
+    ds.videos_dir = str(d)
+    ds.mask_annotations_dir = str(d / "masks")
+    ds.text_annotations = [("a gray screen", "vid0", frame_idx, 7)]
+    ds.transforms = VideoTransforms(
+        "test", eval_short_size=24, eval_max_size=32)
+    s = ds[0]
+    assert s["frames"].shape[0] == 8
+    assert s["masks"].shape == (1, 1, 24, 32)
+    assert s["masks"][0, 0, 8:20, 5:15].all()  # transposed back to (H, W)
+
+    # oracle: whole-video decode with the reference's clamped window indexing
+    video = read_video_frames_cv2(vp)
+    start = frame_idx - 1 - 4
+    want = [min(max(i, 0), len(video) - 1) for i in range(start, start + 8)]
+    from neurips2023_soc_tpu.data.collate import normalize_frames
+
+    oracle = normalize_frames(np.stack([video[i] for i in want]))
+    np.testing.assert_array_equal(s["frames"], oracle)

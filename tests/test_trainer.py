@@ -44,6 +44,59 @@ def test_trainer_epoch_checkpoints_and_logs(tmp_path):
     assert (tmp_path / "checkpoints" / "best.json").exists()
 
 
+def test_trainer_ytvos_per_epoch_eval(tmp_path):
+    """The per-epoch Ref-YTVOS eval hook runs valid-split inference inside
+    the training loop and leaves only the submission zip behind (reference
+    trainer.py:315-354)."""
+    import zipfile
+
+    from neurips2023_soc_tpu.config import load_config
+    from neurips2023_soc_tpu.evaluators import build_ytvos_evaluator
+
+    cfg = load_config("configs/tiny_synthetic.yaml", overrides={
+        "epochs": 1, "output_dir": str(tmp_path), "batch_size": 2,
+        "eval_short_size": 48, "eval_max_size": 64,
+        "eval_time_buckets": (4,), "text_bucket": 12,
+    })
+    ds = SyntheticRVOSDataset(num_samples=4, num_frames=4, frame_size=(48, 64))
+    tok = build_tokenizer("roberta-tiny", text_bucket=12)
+
+    def train_batches(epoch):
+        for start in range(0, len(ds), 2):
+            yield collate_batch([ds[start], ds[start + 1]], tok,
+                                size_buckets=SIZE, time_buckets=TIME)
+
+    rng = np.random.RandomState(3)
+    valid_ds = [
+        {
+            "frames": rng.randn(4, 48, 64, 3).astype(np.float32),
+            "text": f"object {i}",
+            "video_metadata": {
+                "video_id": f"vid{i}", "exp_id": "0",
+                "frame_indices": ["00000", "00005", "00010", "00015"],
+                "resized_frame_size": (48, 64),
+                "original_frame_size": (96, 128),
+            },
+        }
+        for i in range(2)
+    ]
+    trainer = Trainer(cfg, train_batches, steps_per_epoch=2)
+    trainer.evaluate_fn = build_ytvos_evaluator(trainer.model, cfg,
+                                                dataset=valid_ds)
+    trainer.train()
+
+    zpath = tmp_path / "validation_outputs" / "submission_epoch_0.zip"
+    assert zpath.exists()
+    names = zipfile.ZipFile(zpath).namelist()
+    assert "Annotations/vid0/0/00000.png" in names
+    assert "Annotations/vid1/0/00015.png" in names
+    assert len(names) == 8
+    # uncompressed tree removed after zipping (reference trainer.py:350)
+    assert not (tmp_path / "validation_outputs" / "epoch_0").exists()
+    rec = json.loads((tmp_path / "log.txt").read_text().strip().splitlines()[-1])
+    assert rec["eval_submission_zip"] == str(zpath)
+
+
 def test_trainer_resume(tmp_path):
     trainer, _ = make_trainer(tmp_path, epochs=1)
     trainer.train()
