@@ -99,7 +99,10 @@ def evaluate_coco_map(gt_anns: List[Dict], dt_anns: List[Dict]) -> Dict[str, flo
             d["area"] = rle_area(d["segmentation"])
         dt_by_img[d["image_id"]].append(d)
 
-    img_ids = sorted(gt_by_img.keys())
+    # include det-only images: their detections are FPs (pycocotools walks
+    # the GT dataset's full image list, so an image with no GT annotations
+    # still contributes false positives)
+    img_ids = sorted(set(gt_by_img) | set(dt_by_img))
     results = {}
     # per image, per area range
     per_rng: Dict[str, List] = {k: [] for k in AREA_RNGS}

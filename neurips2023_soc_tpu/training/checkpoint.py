@@ -86,3 +86,34 @@ def load_pretrained_into_params(path: str, params, drop_class_embed: bool = Fals
     if drop_class_embed:
         sd = {k: v for k, v in sd.items() if not k.startswith("class_embed")}
     return convert_torch_state_dict(sd, params)
+
+
+def save_reference_checkpoint(params, path: str, epoch: int = 0,
+                              total_epochs: int = 0, best_map=None,
+                              best_loss=None):
+    """Write a `.pth.tar` in the reference trainer's EXACT on-disk format
+    (reference trainer.py:380-422: model weights nested under
+    'model_state_dict' beside epoch/total_epochs/optimizer/scheduler/
+    grad_scaler entries, best_mAP for A2D-style runs or best_loss for
+    YTVOS-style) so checkpoints trained here interoperate with the reference
+    codebase and its inference CLIs (infer_refytb.py:143-156)."""
+    import torch
+
+    from .convert import export_torch_state_dict
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(params).items()}
+    ckpt = {
+        "epoch": epoch,
+        "total_epochs": total_epochs,
+        "model_state_dict": sd,
+        "optimizer_state_dict": {},
+        "scheduler_state_dict": {},
+        "grad_scaler_state_dict": {},
+    }
+    if best_map is not None:
+        ckpt["best_mAP"] = float(best_map)
+    if best_loss is not None:
+        ckpt["best_loss"] = float(best_loss)
+    torch.save(ckpt, path)
+    return path

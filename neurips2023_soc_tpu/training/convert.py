@@ -400,3 +400,33 @@ def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"], flax_params):
     unused = sorted(set(sd.keys()) - used)
     report = {"missing": missing, "unused": unused}
     return new_tree, report
+
+
+INVERSE_TRANSFORMS = {
+    "linear": _t,  # transpose is its own inverse
+    "conv": lambda x: np.ascontiguousarray(np.transpose(x, (3, 2, 0, 1))),
+    "conv3d": lambda x: np.ascontiguousarray(np.transpose(x, (4, 3, 0, 1, 2))),
+    "copy": lambda x: np.asarray(x),
+}
+
+
+def export_torch_state_dict(flax_params) -> Dict[str, "np.ndarray"]:
+    """Flax params -> torch state_dict with the REFERENCE's key names and
+    layouts (the exact inverse of `convert_torch_state_dict`), so weights
+    trained here can be loaded by the reference codebase (and by our own
+    loader, closing the round trip). Parameters with no torch counterpart
+    (flax_to_torch -> None) are skipped."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    sd: Dict[str, np.ndarray] = {}
+    for kp, leaf in flat:
+        keys = tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in kp)
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        mapped = flax_to_torch(keys)
+        if mapped is None:
+            continue
+        tkey, kind = mapped
+        sd[tkey] = INVERSE_TRANSFORMS[kind](np.asarray(leaf))
+    return sd

