@@ -1,10 +1,16 @@
 """Benchmark: Ref-YTVOS-style whole-clip referring inference throughput on one
-TPU chip (the north-star workload, BASELINE.json).
+TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` compares against the reference's published numbers — the repo
-publishes none (BASELINE.md), so we report against the recorded target proxy
-when present in baseline_fps.json, else null.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} for the
+NORTH-STAR config — Video-Swin-B whole-video inference (BASELINE.json targets
+"Ref-YouTube-VOS valid inference ... Video-Swin-B") — plus a "secondary"
+field carrying the Video-Swin-T number tracked since round 1 (BENCH_r01/r02
+recorded swin-t; the primary metric changed to swin-b per VERDICT r2 weak #3).
+
+`vs_baseline` divides by the PROVISIONAL spec-derived A100 estimate of the
+reference torch pipeline recorded in baseline_fps.json (the repo publishes no
+fps numbers and no GPU exists here — see that file + BENCH_NOTES.md for the
+derivation and error bars; it is an estimate, not a measurement).
 """
 import json
 import os
@@ -13,18 +19,14 @@ import time
 import numpy as np
 
 
-def main():
+def measure(backbone: str, T: int, dtype_name: str, iters: int) -> float:
     import jax
+    import jax.numpy as jnp
 
     from neurips2023_soc_tpu.models.soc import SOC
 
-    T = int(os.environ.get("BENCH_FRAMES", 16))
-    H, W = 360, 640  # Ref-YTVOS eval resolution (configs: 360 short side / 640 max)
+    H, W = 360, 640  # Ref-YTVOS eval resolution (360 short side / 640 max)
     S = 16
-    backbone = os.environ.get("BENCH_BACKBONE", "video-swin-t")
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    import jax.numpy as jnp
-
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     model = SOC(
@@ -59,7 +61,6 @@ def main():
         # does not imply completion, so naive timing over-reports wildly
         return sel.astype(jnp.float32).mean()
 
-    iters = int(os.environ.get("BENCH_ITERS", 10))
     pad_d = jax.device_put(pad)
     ids_d = jax.device_put(ids)
     msk_d = jax.device_put(msk)
@@ -72,23 +73,51 @@ def main():
         # fresh input per iteration (cheap on-device add) defeats memoization
         float(forward(params, px_d + np.float32(i + 1), pad_d, ids_d, msk_d))
     dt = time.perf_counter() - t0
-    fps = T * iters / dt
+    return T * iters / dt
 
-    vs_baseline = None
+
+def main():
+    T = int(os.environ.get("BENCH_FRAMES", 16))
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    baselines = {}
     try:
-        with open(os.path.join(os.path.dirname(__file__), "baseline_fps.json")) as f:
-            base = json.load(f).get("ytvos_infer_fps")
-            if base:
-                vs_baseline = fps / base
+        with open(os.path.join(os.path.dirname(__file__),
+                               "baseline_fps.json")) as f:
+            baselines = json.load(f)
     except Exception:
         pass
 
-    print(json.dumps({
-        "metric": f"ytvos_whole_clip_infer_fps_{backbone}_{T}f_{H}x{W}_{dtype_name}",
+    # BENCH_BACKBONE overrides run a single backbone (A/B kernel work);
+    # the default driver run measures the north-star swin-b + tracked swin-t
+    only = os.environ.get("BENCH_BACKBONE")
+    results = {}
+    for backbone in ([only] if only else ["video-swin-b", "video-swin-t"]):
+        results[backbone] = measure(backbone, T, dtype_name, iters)
+
+    primary = only or "video-swin-b"
+    fps = results[primary]
+    base_key = ("ytvos_infer_fps_a100_provisional_swin_b"
+                if "swin-b" in primary else
+                "ytvos_infer_fps_a100_provisional_swin_t")
+    base = baselines.get("ytvos_infer_fps") or baselines.get(base_key)
+    record = {
+        "metric": f"ytvos_whole_clip_infer_fps_{primary}_{T}f_360x640_{dtype_name}",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
-        "vs_baseline": vs_baseline,
-    }))
+        "vs_baseline": round(fps / base, 3) if base else None,
+    }
+    if base and baselines.get("provisional"):
+        record["baseline_provenance"] = (
+            f"PROVISIONAL spec-derived A100 estimate ({base} fps, "
+            "baseline_fps.json) — not a measurement")
+    secondary = {b: round(v, 3) for b, v in results.items() if b != primary}
+    if secondary:
+        record["secondary"] = {
+            f"ytvos_whole_clip_infer_fps_{b}_{T}f_360x640_{dtype_name}": v
+            for b, v in secondary.items()}
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -23,6 +23,7 @@ def main():
         d_model=256, num_queries=20, dim_feedforward=2048,
         enc_layers=3, dec_layers=3, voc_enc_layers=3, voc_dec_layers=3,
         text_encoder_type="roberta-base", dtype=jnp.bfloat16,
+        msda_impl=os.environ.get("BENCH_MSDA", "auto"),
     )
     rng = np.random.RandomState(0)
     batch = {

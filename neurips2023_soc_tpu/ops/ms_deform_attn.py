@@ -87,6 +87,22 @@ def _slot_weights(q: jnp.ndarray, f: jnp.ndarray, a: jnp.ndarray,
     return jnp.stack([w0, w1], axis=-1)  # (..., 2)
 
 
+def slot_weight_grad_pair(a: jnp.ndarray, q0: jnp.ndarray, size: int):
+    """(dw0/dcoord, dw1/dcoord): analytic derivative of `slot_weight_pair`
+    w.r.t. the un-normalized sampling coordinate (f = coord - floor(coord),
+    df/dcoord = 1 a.e.; floor contributes zero a.e.) — the piecewise-constant
+    selectors match what autodiff of the `where` chain produces, so the
+    Pallas backward kernel and the XLA-autodiff backward agree exactly."""
+    grads = []
+    for k in (0, 1):
+        qq = a + k
+        gk = jnp.where(qq == q0, -1.0, jnp.where(qq == q0 + 1, 1.0, 0.0))
+        if k == 1 and size == 1:
+            gk = jnp.zeros_like(gk)
+        grads.append(gk)
+    return grads[0], grads[1]
+
+
 def ms_deform_attn_xla(
     value: jnp.ndarray,
     spatial_shapes: SpatialShapes,
@@ -190,18 +206,15 @@ def ms_deform_attn(
 ) -> jnp.ndarray:
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     if impl == "auto":
-        # the Pallas kernel wins ~25% end-to-end on a single TPU chip
-        # (BENCH_NOTES.md); under a multi-device pjit the XLA formulation is
-        # used until the kernel is taught SPMD partitioning, and on CPU the
-        # XLA path is both the oracle and the faster interpreter
-        # only TPU backends can lower the Mosaic kernel ("axon" is the
-        # tunneled TPU plugin on this image); GPU/CPU fall back to XLA
-        impl = (
-            "pallas"
-            if jax.default_backend() in ("tpu", "axon")
-            and jax.device_count() == 1
-            else "xla"
-        )
+        # the Pallas kernel wins ~25% end-to-end on TPU (BENCH_NOTES.md) and
+        # is SPMD batch-partitionable (pallas_msda._spmd_pallas_forward), so
+        # every TPU config uses it — single chip or multi-device pjit (the
+        # round-2 device_count==1 gate also mis-fired on single-device jits
+        # on multi-chip hosts, ADVICE r2). Only TPU backends can lower the
+        # Mosaic kernel ("axon" is the tunneled TPU plugin on this image);
+        # GPU/CPU fall back to XLA, which is both the oracle and the faster
+        # interpreter there.
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     if impl == "pallas":
         from .pallas_msda import ms_deform_attn_pallas_op
 

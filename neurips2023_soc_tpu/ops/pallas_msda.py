@@ -146,21 +146,36 @@ def _build_tables(value: jnp.ndarray, spatial_shapes: SpatialShapes,
 
 
 # single source of truth with the XLA path: both implementations must make
-# bit-identical f32 floor/clip/weight decisions (the backward recomputes
-# through the XLA formulation via custom_vjp); duplicating this math already
+# bit-identical f32 floor/clip/weight decisions (the backward kernel and the
+# XLA-autodiff fallback must agree exactly); duplicating this math already
 # caused one fix (the size-1 degenerate-axis slot) to need applying twice.
 from .ms_deform_attn import bilinear_anchors as _anchors  # noqa: E402
+from .ms_deform_attn import slot_weight_grad_pair as _slot_g  # noqa: E402
 from .ms_deform_attn import slot_weight_pair as _slot_w  # noqa: E402
 
 
+@functools.lru_cache(maxsize=None)
+def _perm_cotangent_maps(spatial_shapes: SpatialShapes):
+    """(src, first): static maps to spread an output cotangent into the
+    PADDED tile-major layout. src[i] = the real query whose data occupies
+    permuted slot i; first[i] = 1.0 iff slot i is that query's canonical
+    slot (perm pads by REPEATING each level's last query, so without the
+    mask a duplicated slot would double-count its cotangent into d_table)."""
+    perm, inv = _tile_major_perm(spatial_shapes)
+    first = (inv[perm] == np.arange(len(perm))).astype(np.float32)
+    return perm, first
+
+
 def _transpose_inputs(sampling_locations, attention_weights, spatial_shapes,
-                      nqb):
+                      nqb, permute=None):
     """Permuted coords/weights into kernel layout + per-block tile bounds."""
     B, Lq, M, L, P, _ = sampling_locations.shape
     geoms, _ = _level_geoms(spatial_shapes)
     loc = sampling_locations.astype(jnp.float32)
     att = attention_weights.astype(jnp.float32)
-    if Lq == sum(h * w for h, w, *_ in geoms):
+    if permute is None:
+        permute = Lq == sum(h * w for h, w, *_ in geoms)
+    if permute:
         # encoder self-attention: queries ARE the level positions — reorder
         # them tile-major so each 128-query block is spatially compact.
         # Flatten trailing dims first: a plain 2D row gather keeps XLA from
@@ -271,11 +286,16 @@ def ms_deform_attn_pallas(
     attention_weights: jnp.ndarray,
     interpret: bool | None = None,
     qpb_max: int = 8,
+    permute: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for `ms_deform_attn_xla` (same shapes/semantics).
 
     bf16 values take the packed path (bf16 table, exactly the XLA path's
     sampling precision); other dtypes sample from an f32 table.
+
+    permute: None = auto (tile-major-permute encoder-shaped queries);
+    False = caller already permuted (the SPMD wrapper hoists the permutation
+    outside the custom_partitioning boundary, whose jaxpr must be const-free).
     """
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
@@ -286,7 +306,9 @@ def ms_deform_attn_pallas(
     packed = value.dtype == jnp.bfloat16 and not interpret
 
     geoms, nt = _level_geoms(spatial_shapes)
-    permuted = Lq == sum(h * w for h, w, *_ in geoms)
+    if permute is None:
+        permute = Lq == sum(h * w for h, w, *_ in geoms)
+    permuted = permute
     lqw = len(_tile_major_perm(spatial_shapes)[0]) if permuted else Lq
     nqb_raw = _cdiv(lqw, LANES)
     # q-blocks per grid step: bound per-step VMEM and the statically-unrolled
@@ -300,7 +322,8 @@ def ms_deform_attn_pallas(
 
     table = _build_tables(value, spatial_shapes, packed)
     locx, locy, attk, bounds = _transpose_inputs(
-        sampling_locations, attention_weights, spatial_shapes, nqb)
+        sampling_locations, attention_weights, spatial_shapes, nqb,
+        permute=permute)
 
     BM = B * M
     CR = 2 * D if packed else 4 * D
@@ -335,30 +358,393 @@ def ms_deform_attn_pallas(
     return out.astype(value.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Backward kernel
+#
+# The reference ships SIX CUDA col2im variants for this gradient
+# (ms_deform_im2col_cuda.cuh:302-1030), all built on shared-memory reductions
+# or global atomicAdd. TPUs have neither atomics nor per-thread scatter, so
+# the kernel reformulates the value-gradient scatter as MXU matmuls:
+#
+#   * d_loc / d_attn are GATHER-shaped: re-gather each sample's 2x2 patch row
+#     (same tile loop as the forward) and contract with the output cotangent
+#     — pure VPU work, exactly the forward's access pattern;
+#   * d_value is a scatter of per-sample weighted cotangents into the patch
+#     table. Per (level, point, query-block, tile) it becomes ONE-HOT MATMUL:
+#       d_tile[4D, lane] += A[4D, q] @ onehot[q, lane],
+#     onehot[q, lane] = (sample q's in-tile lane == lane) & (q hits tile) —
+#     a (4D x 128) x (128 x 128) MXU contraction instead of 128 scattered
+#     adds. The tile's d_table block accumulates in VMEM across the whole
+#     query grid (output block index is constant along the query dim), and
+#     the XLA epilogue un-tiles + reverse-rolls it into d_value.
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int):
+    CR = 4 * D  # backward always samples the unpacked f32 table
+
+    def kernel(bounds_ref, t_ref, locx_ref, locy_ref, att_ref, go_ref,
+               dt_ref, dlx_ref, dly_ref, datt_ref):
+        qs = pl.program_id(1)
+
+        @pl.when(qs == 0)
+        def _init():
+            dt_ref[...] = jnp.zeros(dt_ref.shape, dt_ref.dtype)
+
+        zero = jnp.zeros((CR, LANES), jnp.float32)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+
+        # anchor math + slot weights AND their coordinate derivatives,
+        # vectorized over all qpb blocks of this grid step
+        pre = []
+        for l, (H, W, nty, ntx, base) in enumerate(geoms):
+            for p in range(P):
+                x = locx_ref[0, l, p] * W - 0.5  # (qpb, 128)
+                y = locy_ref[0, l, p] * H - 0.5
+                ax, ay, fx, fy, x0i, y0i = _anchors(x, y, H, W)
+                wx0, wx1 = _slot_w(fx, ax, x0i, W)
+                wy0, wy1 = _slot_w(fy, ay, y0i, H)
+                gx0, gx1 = _slot_g(ax, x0i, W)
+                gy0, gy1 = _slot_g(ay, y0i, H)
+                pre.append((
+                    ay // TY, ax // TX, (ay % TY) * TX + ax % TX,
+                    jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], 1),
+                    jnp.stack([wy0 * gx0, wy0 * gx1, wy1 * gx0, wy1 * gx1], 1),
+                    jnp.stack([gy0 * wx0, gy0 * wx1, gy1 * wx0, gy1 * wx1], 1),
+                ))  # ty/tx/lo (qpb,128); w4/dx4/dy4 (qpb,4,128)
+
+        for qb in range(qpb):  # static unroll (ref indexing must be static)
+            qa = qs * qpb + qb
+            go_b = go_ref[0, qb]  # (D, 128) f32
+            for g, (l, (H, W, nty, ntx, base)) in enumerate(
+                    (l, geom) for l, geom in enumerate(geoms)
+                    for _ in range(P)):
+                p = g % P
+                tyq, txq, loq, w4q, dx4q, dy4q = pre[g]
+                tyv = tyq[qb][None]  # (1, 128)
+                txv = txq[qb][None]
+                lo = loq[qb]  # (128,)
+                LO = jnp.broadcast_to(lo[None], (CR, LANES))
+                aw = att_ref[0, l, p, qb]  # (128,)
+                w4 = w4q[qb]  # (4, 128), attention NOT included
+                # scatter payload: rows slot*D+d hold w4[slot]*attn*go[d]
+                A = ((w4 * aw[None])[:, None, :]
+                     * go_b[None, :, :]).reshape(CR, LANES)
+                onehot_full = (lo[:, None] == lane_ids).astype(jnp.float32)
+                tym = bounds_ref[0, l, p, qa, 0]
+                tyn = bounds_ref[0, l, p, qa, 1]
+                txm = bounds_ref[0, l, p, qa, 2]
+                txn = bounds_ref[0, l, p, qa, 3]
+
+                def ybody(ky, acc, tym=tym, txm=txm, txn=txn, ntx=ntx,
+                          base=base, LO=LO, tyv=tyv, txv=txv, A=A,
+                          onehot_full=onehot_full):
+                    ty = tym + ky
+
+                    def xbody(kx, acc):
+                        tx = txm + kx
+                        t = base + ty * ntx + tx
+                        m = (tyv == ty) & (txv == tx)  # (1, 128) over queries
+                        cand = jnp.take_along_axis(t_ref[0, t], LO, axis=1)
+                        acc = acc + jnp.where(m, cand, zero)
+                        # mask rows (queries) of the one-hot; go through f32
+                        # before the (128,)->(128,1) reshape — Mosaic only
+                        # supports minor-dim insertion for 32-bit types
+                        mrow = jnp.where(m, 1.0, 0.0).reshape(LANES, 1)
+                        dt_ref[0, t] += jnp.dot(
+                            A, onehot_full * mrow,
+                            preferred_element_type=jnp.float32)
+                        return acc
+
+                    return jax.lax.fori_loop(0, txn, xbody, acc)
+
+                part = jax.lax.fori_loop(0, tyn, ybody, zero)
+                v4 = part.reshape(4, D, LANES)
+                s4 = (v4 * go_b[None]).sum(1)  # (4, 128): v_slot . go
+                datt_ref[0, l, p, qb] = (w4 * s4).sum(0)
+                dlx_ref[0, l, p, qb] = aw * W * (dx4q[qb] * s4).sum(0)
+                dly_ref[0, l, p, qb] = aw * H * (dy4q[qb] * s4).sum(0)
+
+    return kernel
+
+
+def _untile_dtable(dtab: jnp.ndarray, spatial_shapes: SpatialShapes,
+                   B: int, M: int, D: int) -> jnp.ndarray:
+    """(BM, NT, 4D, LANES) f32 patch-table cotangent -> (B, S, M, D) value
+    gradient: reverse the spatial tiling, then reverse the table's rolls
+    (forward row s holds [v(s), v(s+1), v(s+W), v(s+W+1)], so slot k's
+    column scatters BACK by the matching positive roll)."""
+    geoms, _ = _level_geoms(spatial_shapes)
+    outs = []
+    for (H, W, nty, ntx, base) in geoms:
+        t = dtab[:, base : base + nty * ntx]  # (BM, ntiles, 4D, 128)
+        t = t.reshape(B, M, nty, ntx, 4 * D, TY, TX)
+        t = jnp.transpose(t, (0, 1, 2, 5, 3, 6, 4))  # (B,M,nty,TY,ntx,TX,4D)
+        t = t.reshape(B, M, nty * TY, ntx * TX, 4 * D)[:, :, :H, :W]
+        t = t.reshape(B, M, H * W, 4, D)
+        dv = (t[:, :, :, 0]
+              + jnp.roll(t[:, :, :, 1], 1, axis=2)
+              + jnp.roll(t[:, :, :, 2], W, axis=2)
+              + jnp.roll(t[:, :, :, 3], W + 1, axis=2))
+        outs.append(dv)
+    dvh = jnp.concatenate(outs, axis=2)  # (B, M, S, D)
+    return jnp.transpose(dvh, (0, 2, 1, 3))
+
+
+def ms_deform_attn_pallas_bwd(
+    value: jnp.ndarray,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    g: jnp.ndarray,
+    interpret: bool | None = None,
+    qpb_max: int = 8,
+    permute: bool | None = None,
+):
+    """Pallas backward: (d_value, d_sampling_locations, d_attention_weights)
+    for cotangent g of shape (B, Lq, M*D). Semantics match XLA autodiff of
+    `ms_deform_attn_xla` exactly (same anchor/slot-weight decisions)."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    geoms, nt = _level_geoms(spatial_shapes)
+    if permute is None:
+        permute = Lq == sum(h * w for h, w, *_ in geoms)
+    if permute:
+        perm, inv = _tile_major_perm(spatial_shapes)
+        src, first = _perm_cotangent_maps(spatial_shapes)
+        loc_p = jnp.take(sampling_locations.reshape(B, Lq, -1), perm,
+                         axis=1).reshape(B, len(perm), M, L, P, 2)
+        att_p = jnp.take(attention_weights.reshape(B, Lq, -1), perm,
+                         axis=1).reshape(B, len(perm), M, L, P)
+        g_p = jnp.take(g, src, axis=1) * first[:, None]
+        d_val, d_loc_p, d_att_p = ms_deform_attn_pallas_bwd(
+            value, spatial_shapes, loc_p, att_p, g_p,
+            interpret=interpret, qpb_max=qpb_max, permute=False)
+        d_loc = jnp.take(d_loc_p, inv, axis=1)
+        d_att = jnp.take(d_att_p, inv, axis=1)
+        return d_val, d_loc, d_att
+
+    lqw = Lq
+    nqb_raw = _cdiv(lqw, LANES)
+    qpb = min(qpb_max, nqb_raw)
+    nqb = _cdiv(nqb_raw, qpb) * qpb
+    qs_steps = nqb // qpb
+
+    table = _build_tables(value, spatial_shapes, packed=False)
+    locx, locy, attk, bounds = _transpose_inputs(
+        sampling_locations, attention_weights, spatial_shapes, nqb,
+        permute=False)
+    BM = B * M
+    CR = 4 * D
+
+    # cotangent into kernel layout (BM, nqb, D, LANES) — ZERO padding (edge
+    # padding would double-count tail queries into d_table)
+    gk = g.astype(jnp.float32).reshape(B, lqw, M, D)
+    gk = jnp.transpose(gk, (0, 2, 3, 1)).reshape(BM, D, lqw)
+    gk = jnp.pad(gk, ((0, 0), (0, 0), (0, nqb * LANES - lqw)))
+    gk = jnp.transpose(gk.reshape(BM, D, nqb, LANES), (0, 2, 1, 3))
+
+    kernel = _make_bwd_kernel(tuple(geoms), L, P, D, qpb)
+    dtab, dlx, dly, datt = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((BM, nt, CR, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((BM, L, P, nqb, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((BM, L, P, nqb, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((BM, L, P, nqb, LANES), jnp.float32),
+        ),
+        grid=(BM, qs_steps),
+        in_specs=[
+            pl.BlockSpec((1, L, P, nqb, 4), lambda b, q: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nt, CR, LANES), lambda b, q: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P, qpb, LANES), lambda b, q: (b, 0, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P, qpb, LANES), lambda b, q: (b, 0, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P, qpb, LANES), lambda b, q: (b, 0, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qpb, D, LANES), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            # d_table accumulates across the query grid dim (constant index)
+            pl.BlockSpec((1, nt, CR, LANES), lambda b, q: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P, qpb, LANES), lambda b, q: (b, 0, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P, qpb, LANES), lambda b, q: (b, 0, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P, qpb, LANES), lambda b, q: (b, 0, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(bounds, table, locx, locy, attk, gk)
+
+    d_value = _untile_dtable(dtab, spatial_shapes, B, M, D).astype(value.dtype)
+
+    def unpack_q(a):  # (BM, L, P, nqb, LANES) -> (B, lqw, M, L, P)
+        a = a.reshape(B, M, L, P, nqb * LANES)[..., :lqw]
+        return jnp.transpose(a, (0, 4, 1, 2, 3))
+
+    d_loc = jnp.stack([unpack_q(dlx), unpack_q(dly)], axis=-1).astype(
+        sampling_locations.dtype)
+    d_att = unpack_q(datt).astype(attention_weights.dtype)
+    return d_value, d_loc, d_att
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_pallas_backward(spatial_shapes: SpatialShapes):
+    """SPMD batch-partitioned backward (same contract as the forward's
+    custom_partitioning: batch dim 0 everywhere, const-free region — the
+    caller hoists the query permutation)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @custom_partitioning
+    def f(value, sampling_locations, attention_weights, g):
+        return ms_deform_attn_pallas_bwd(
+            value, spatial_shapes, sampling_locations, attention_weights, g,
+            permute=False)
+
+    def partition(mesh, arg_shapes, result_shape):
+        spec = arg_shapes[0].sharding.spec
+        b = spec[0] if len(spec) else None
+
+        def ns(*s):
+            return NamedSharding(mesh, PartitionSpec(*s))
+
+        def lower(v, loc, attn, g):
+            return ms_deform_attn_pallas_bwd(
+                v, spatial_shapes, loc, attn, g, permute=False)
+
+        return mesh, lower, (ns(b), ns(b), ns(b)), (ns(b), ns(b), ns(b), ns(b))
+
+    f.def_partition(
+        partition=partition,
+        sharding_rule=("b s m d, b q m2 l p x, b q2 m3 l2 p2, b q3 e "
+                       "-> b s m d, b q m2 l p x, b q2 m3 l2 p2"),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_pallas_forward(spatial_shapes: SpatialShapes):
+    """SPMD-partitionable Pallas forward: under a multi-device pjit the SPMD
+    partitioner runs the kernel on each device's LOCAL batch shard (all
+    operands and the output share batch dim 0; everything else is gathered to
+    replicated) — the mesh-native analog of the reference CUDA op's implicit
+    per-GPU batch split under DDP. Single-device jit lowers unchanged."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @custom_partitioning
+    def f(value, sampling_locations, attention_weights):
+        # permute=False: the query permutation is applied by the caller —
+        # custom_partitioning requires a const-free jaxpr and the permutation
+        # indices are host constants
+        return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            permute=False)
+
+    def partition(mesh, arg_shapes, result_shape):
+        spec = arg_shapes[0].sharding.spec
+        b = spec[0] if len(spec) else None
+
+        def ns(*s):
+            return NamedSharding(mesh, PartitionSpec(*s))
+
+        def lower(v, loc, attn):
+            return ms_deform_attn_pallas(v, spatial_shapes, loc, attn,
+                                         permute=False)
+
+        return mesh, lower, ns(b), (ns(b), ns(b), ns(b))
+
+    # only the batch factor `b` is shared across operands/result, so Shardy
+    # propagates exactly batch sharding; the partition callback re-shards any
+    # other layout to (batch-split, replicated-elsewhere) before the kernel
+    f.def_partition(
+        partition=partition,
+        sharding_rule="b s m d, b q m2 l p x, b q2 m3 l2 p2 -> b q e",
+    )
+    return f
+
+
+def _spmd_forward(value, spatial_shapes, sampling_locations,
+                  attention_weights):
+    """Apply the (host-constant) tile-major query permutation OUTSIDE the
+    const-free custom_partitioning region, then run the partitioned kernel.
+    Queries live on a replicated axis, so permuting outside is
+    sharding-neutral."""
+    B, Lq, M, L, P, _ = sampling_locations.shape
+    S = sum(h * w for h, w in spatial_shapes)
+    if Lq != S:
+        return _spmd_pallas_forward(spatial_shapes)(
+            value, sampling_locations, attention_weights)
+    perm, inv = _tile_major_perm(spatial_shapes)
+    loc_p = jnp.take(sampling_locations.reshape(B, Lq, -1), perm,
+                     axis=1).reshape(B, len(perm), M, L, P, 2)
+    att_p = jnp.take(attention_weights.reshape(B, Lq, -1), perm,
+                     axis=1).reshape(B, len(perm), M, L, P)
+    out = _spmd_pallas_forward(spatial_shapes)(value, loc_p, att_p)
+    return jnp.take(out, inv, axis=1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def ms_deform_attn_pallas_op(value, spatial_shapes, sampling_locations,
                              attention_weights):
-    """custom_vjp wrapper: Pallas forward, XLA-autodiff backward.
+    """custom_vjp wrapper: Pallas forward (SPMD batch-partitionable),
+    XLA-autodiff backward.
 
     The backward of the reference CUDA op is a scatter-add
     (ms_deform_im2col_cuda.cuh:302-1030); here gradients recompute through
     the XLA gather formulation (remat-style, like the forward's XLA path),
     so training works regardless of Mosaic's missing dynamic-scatter.
     """
-    return ms_deform_attn_pallas(
-        value, spatial_shapes, sampling_locations, attention_weights)
+    return _spmd_forward(value, spatial_shapes, sampling_locations,
+                         attention_weights)
 
 
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
-    out = ms_deform_attn_pallas(
-        value, spatial_shapes, sampling_locations, attention_weights)
+    out = _spmd_forward(value, spatial_shapes, sampling_locations,
+                        attention_weights)
     return out, (value, sampling_locations, attention_weights)
 
 
+def _spmd_backward(value, spatial_shapes, loc, attn, g):
+    """Backward with the query permutation hoisted outside the SPMD region
+    (mirror of `_spmd_forward`)."""
+    B, Lq = loc.shape[:2]
+    S = sum(h * w for h, w in spatial_shapes)
+    if Lq != S:
+        return _spmd_pallas_backward(spatial_shapes)(value, loc, attn, g)
+    perm, inv = _tile_major_perm(spatial_shapes)
+    src, first = _perm_cotangent_maps(spatial_shapes)
+    M, L, P = loc.shape[2], loc.shape[3], loc.shape[4]
+    loc_p = jnp.take(loc.reshape(B, Lq, -1), perm,
+                     axis=1).reshape(B, len(perm), M, L, P, 2)
+    att_p = jnp.take(attn.reshape(B, Lq, -1), perm,
+                     axis=1).reshape(B, len(perm), M, L, P)
+    g_p = jnp.take(g, src, axis=1) * first[:, None]
+    d_val, d_loc_p, d_att_p = _spmd_pallas_backward(spatial_shapes)(
+        value, loc_p, att_p, g_p)
+    return d_val, jnp.take(d_loc_p, inv, axis=1), jnp.take(d_att_p, inv, axis=1)
+
+
 def _bwd(spatial_shapes, res, g):
+    value, loc, attn = res
+    if jax.default_backend() in ("tpu", "axon"):
+        # Pallas backward kernel: gather-shaped d_loc/d_attn + one-hot-matmul
+        # d_value scatter (the TPU answer to the reference's 6 CUDA col2im
+        # variants, ms_deform_im2col_cuda.cuh:302-1030)
+        return _spmd_backward(value, spatial_shapes, loc, attn, g)
+    # CPU/GPU: autodiff through the XLA oracle formulation
     from .ms_deform_attn import ms_deform_attn_xla
 
-    value, loc, attn = res
     _, vjp = jax.vjp(
         lambda v, sl, a: ms_deform_attn_xla(v, spatial_shapes, sl, a),
         value, loc, attn)

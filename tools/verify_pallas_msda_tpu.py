@@ -38,12 +38,38 @@ def check(shapes, B, M, D, Lq, P=4, local=True, label=""):
     return err < 1e-5
 
 
+def check_bf16(shapes, B, M, D, Lq, P=4, label=""):
+    """Packed-path parity: bf16 values route through the int32 channel-pair
+    packing + pltpu.bitcast on the real chip (packed=False in interpret mode,
+    so only this script exercises it compiled). Oracle = the XLA path on the
+    SAME bf16 inputs; tolerance sized for bf16 products with f32 accumulation
+    over L*P*4 terms."""
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    v = rng.randn(B, S, M, D).astype(np.float32)
+    loc = (rng.rand(B, Lq, M, L, P, 2) * 1.2 - 0.1).astype(np.float32)
+    a = rng.rand(B, Lq, M, L, P).astype(np.float32)
+    a = a / a.sum((-1, -2), keepdims=True)
+    vb = jnp.asarray(v, jnp.bfloat16)
+    ab = jnp.asarray(a, jnp.bfloat16)
+    fx = jax.jit(lambda v, l, a: ms_deform_attn_xla(v, shapes, l, a))
+    fp = jax.jit(lambda v, l, a: ms_deform_attn_pallas(v, shapes, l, a))
+    ox = np.asarray(fx(vb, loc, ab)).astype(np.float32)
+    op = np.asarray(fp(vb, loc, ab)).astype(np.float32)
+    err = np.abs(ox - op).max() / (np.abs(ox).max() + 1e-9)
+    print(f"bf16 packed parity {label}: rel-max-err {err:.2e} "
+          f"{'OK' if err < 2e-2 else 'FAIL'}")
+    return err < 2e-2
+
+
 shapes = ((45, 80), (23, 40), (12, 20), (6, 10))
 ok = True
 ok &= check(shapes, 2, 8, 32, 4820, label="flagship-shape local")
 ok &= check(shapes, 2, 8, 32, 4820, local=False, label="uniform+out-of-range")
 ok &= check(shapes, 2, 8, 32, 20, label="decoder Lq=20")
 ok &= check(((7, 9), (4, 5)), 3, 4, 16, 63, local=False, label="odd shapes")
+ok &= check_bf16(shapes, 2, 8, 32, 4820, label="flagship-shape")
+ok &= check_bf16(((7, 9), (4, 5)), 3, 4, 16, 63, label="odd shapes")
 print("ALL OK" if ok else "FAILURES")
 
 # perf at flagship shape
