@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 from ..config import add_config_args, config_from_args
 from ..data.collate import collate_batch
 from ..models.text_encoder import build_tokenizer

@@ -110,7 +110,7 @@ def _tile_major_perm(spatial_shapes: SpatialShapes):
 
 
 def _build_tables(value: jnp.ndarray, spatial_shapes: SpatialShapes,
-                  packed: bool):
+                  packed: bool, bf16_unpacked: bool = False):
     """(B, S, M, D) -> tiled transposed patch tables.
 
     Row s of a level's patch table is the 2x2 neighborhood of anchor s
@@ -121,7 +121,7 @@ def _build_tables(value: jnp.ndarray, spatial_shapes: SpatialShapes,
     """
     B, S, M, D = value.shape
     geoms, _ = _level_geoms(spatial_shapes)
-    dt = jnp.bfloat16 if packed else jnp.float32
+    dt = jnp.bfloat16 if (packed or bf16_unpacked) else jnp.float32
     vh = jnp.transpose(value, (0, 2, 1, 3)).astype(dt)  # (B,M,S,D)
     start = 0
     tables = []
@@ -209,12 +209,22 @@ def _transpose_inputs(sampling_locations, attention_weights, spatial_shapes,
     return locx, locy, attk, bounds
 
 
-def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool):
+def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool,
+                 mxu: bool = False):
+    """mxu=True replaces the per-tile lane gather with a one-hot MXU matmul:
+    part[4D, q] = tile[4D, lane] @ onehot[lane, q]. The onehot is exact
+    (0/1), so precision equals the gather path; the win is moving the
+    per-sample data movement from VPU shuffles onto the systolic array."""
+    if mxu:
+        packed = False  # mxu samples an unpacked (possibly bf16) table
     CR = 2 * D if packed else 4 * D  # gathered table rows per tile
 
     def kernel(bounds_ref, t_ref, locx_ref, locy_ref, att_ref, o_ref):
         qs = pl.program_id(1)
         zero = jnp.zeros((CR, LANES), jnp.int32 if packed else jnp.float32)
+        if mxu:
+            lane_rows = jax.lax.broadcasted_iota(
+                jnp.int32, (LANES, LANES), 0)
 
         # anchor math vectorized over all qpb blocks of this grid step
         lov_a, tyv_a, txv_a, w4_a = [], [], [], []
@@ -255,20 +265,45 @@ def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool):
                 # ±6% load-dependent spread); the per-group scalar branch
                 # eats whatever the skipped mask/select saves. Keep the
                 # straight-line nested loop.
-                def ybody(ky, a, tym=tym, txm=txm, txn=txn, ntx=ntx,
-                          base=base, LO=LO, tyv=tyv, txv=txv):
-                    ty = tym + ky
+                if mxu:
+                    oh_full = lane_rows == lov_a[g][qb][None, :]  # (t, q)
+                    zf = jnp.zeros((CR, LANES), jnp.float32)
 
-                    def xbody(kx, a):
-                        tx = txm + kx
-                        t = base + ty * ntx + tx
-                        cand = jnp.take_along_axis(t_ref[0, t], LO, axis=1)
-                        m = (tyv == ty) & (txv == tx)  # (1,128)
-                        return a + jnp.where(m, cand, zero)
+                    def ybody(ky, a, tym=tym, txm=txm, txn=txn, ntx=ntx,
+                              base=base, oh_full=oh_full, tyv=tyv, txv=txv):
+                        ty = tym + ky
 
-                    return jax.lax.fori_loop(0, txn, xbody, a)
+                        def xbody(kx, a):
+                            tx = txm + kx
+                            t = base + ty * ntx + tx
+                            m = (tyv == ty) & (txv == tx)  # (1, q)
+                            tile = t_ref[0, t]
+                            # bool -> f32 -> table dtype (Mosaic has no
+                            # direct i1 -> bf16 truncation)
+                            oh = jnp.where(m & oh_full, 1.0,
+                                           0.0).astype(tile.dtype)
+                            return a + jax.lax.dot(
+                                tile, oh,
+                                preferred_element_type=jnp.float32)
 
-                part = jax.lax.fori_loop(0, tyn, ybody, zero)
+                        return jax.lax.fori_loop(0, txn, xbody, a)
+
+                    part = jax.lax.fori_loop(0, tyn, ybody, zf)
+                else:
+                    def ybody(ky, a, tym=tym, txm=txm, txn=txn, ntx=ntx,
+                              base=base, LO=LO, tyv=tyv, txv=txv):
+                        ty = tym + ky
+
+                        def xbody(kx, a):
+                            tx = txm + kx
+                            t = base + ty * ntx + tx
+                            cand = jnp.take_along_axis(t_ref[0, t], LO, axis=1)
+                            m = (tyv == ty) & (txv == tx)  # (1,128)
+                            return a + jnp.where(m, cand, zero)
+
+                        return jax.lax.fori_loop(0, txn, xbody, a)
+
+                    part = jax.lax.fori_loop(0, tyn, ybody, zero)
                 if packed:
                     part = pltpu.bitcast(part, jnp.bfloat16)  # (4D, 128)
                 w4 = w4_a[g][qb]  # (4,128)
@@ -287,6 +322,7 @@ def ms_deform_attn_pallas(
     interpret: bool | None = None,
     qpb_max: int = 8,
     permute: bool | None = None,
+    mxu: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for `ms_deform_attn_xla` (same shapes/semantics).
 
@@ -296,14 +332,22 @@ def ms_deform_attn_pallas(
     permute: None = auto (tile-major-permute encoder-shaped queries);
     False = caller already permuted (the SPMD wrapper hoists the permutation
     outside the custom_partitioning boundary, whose jaxpr must be const-free).
+
+    mxu: route the per-tile sample through a one-hot MXU matmul instead of
+    the lane gather (identical results — the one-hot is exact). Default via
+    env MSDA_FWD_MXU for A/B runs.
     """
+    import os
+
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert L == len(spatial_shapes)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if mxu is None:
+        mxu = os.environ.get("MSDA_FWD_MXU", "0") == "1"
     # pltpu.bitcast is TPU-only; interpret mode uses the f32 table
-    packed = value.dtype == jnp.bfloat16 and not interpret
+    packed = value.dtype == jnp.bfloat16 and not interpret and not mxu
 
     geoms, nt = _level_geoms(spatial_shapes)
     if permute is None:
@@ -320,14 +364,15 @@ def ms_deform_attn_pallas(
     nqb = _cdiv(nqb_raw, qpb) * qpb
     qs_steps = nqb // qpb
 
-    table = _build_tables(value, spatial_shapes, packed)
+    table = _build_tables(value, spatial_shapes, packed,
+                          bf16_unpacked=mxu and value.dtype == jnp.bfloat16)
     locx, locy, attk, bounds = _transpose_inputs(
         sampling_locations, attention_weights, spatial_shapes, nqb,
         permute=permute)
 
     BM = B * M
     CR = 2 * D if packed else 4 * D
-    kernel = _make_kernel(tuple(geoms), L, P, D, qpb, packed)
+    kernel = _make_kernel(tuple(geoms), L, P, D, qpb, packed, mxu=mxu)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((BM, nqb, D, LANES), jnp.float32),
@@ -380,8 +425,13 @@ def ms_deform_attn_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int):
+def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
+                     bf16_mm: bool = False):
+    """bf16_mm: run the d_table one-hot matmuls with bf16 operands (f32
+    accumulate). Used when the primal value is bf16 — the cotangent products
+    are bf16-precision in bf16 training anyway — for the 2x MXU rate."""
     CR = 4 * D  # backward always samples the unpacked f32 table
+    mm_dt = jnp.bfloat16 if bf16_mm else jnp.float32
 
     def kernel(bounds_ref, t_ref, locx_ref, locy_ref, att_ref, go_ref,
                dt_ref, dlx_ref, dly_ref, datt_ref):
@@ -429,8 +479,10 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int):
                 w4 = w4q[qb]  # (4, 128), attention NOT included
                 # scatter payload: rows slot*D+d hold w4[slot]*attn*go[d]
                 A = ((w4 * aw[None])[:, None, :]
-                     * go_b[None, :, :]).reshape(CR, LANES)
-                onehot_full = (lo[:, None] == lane_ids).astype(jnp.float32)
+                     * go_b[None, :, :]).reshape(CR, LANES).astype(mm_dt)
+                # bool -> f32 -> mm dtype (no direct i1 -> bf16 in Mosaic)
+                onehot_full = jnp.where(lo[:, None] == lane_ids,
+                                        1.0, 0.0).astype(mm_dt)
                 tym = bounds_ref[0, l, p, qa, 0]
                 tyn = bounds_ref[0, l, p, qa, 1]
                 txm = bounds_ref[0, l, p, qa, 2]
@@ -450,7 +502,8 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int):
                         # mask rows (queries) of the one-hot; go through f32
                         # before the (128,)->(128,1) reshape — Mosaic only
                         # supports minor-dim insertion for 32-bit types
-                        mrow = jnp.where(m, 1.0, 0.0).reshape(LANES, 1)
+                        mrow = jnp.where(m, 1.0, 0.0).reshape(
+                            LANES, 1).astype(A.dtype)
                         dt_ref[0, t] += jnp.dot(
                             A, onehot_full * mrow,
                             preferred_element_type=jnp.float32)
@@ -547,7 +600,9 @@ def ms_deform_attn_pallas_bwd(
     gk = jnp.pad(gk, ((0, 0), (0, 0), (0, nqb * LANES - lqw)))
     gk = jnp.transpose(gk.reshape(BM, D, nqb, LANES), (0, 2, 1, 3))
 
-    kernel = _make_bwd_kernel(tuple(geoms), L, P, D, qpb)
+    kernel = _make_bwd_kernel(
+        tuple(geoms), L, P, D, qpb,
+        bf16_mm=value.dtype == jnp.bfloat16 and not interpret)
     dtab, dlx, dly, datt = pl.pallas_call(
         kernel,
         out_shape=(

@@ -53,11 +53,17 @@ class Trainer:
             while bs % n != 0:
                 n -= 1
             if n < n_dev:
-                print(
-                    f"WARNING: batch_size={bs} is not divisible by the "
-                    f"{n_dev} available devices — training on {n} device(s); "
-                    f"{n_dev - n} idle. Raise batch_size to a multiple of "
-                    f"{n_dev} to use the whole mesh.")
+                msg = (
+                    f"batch_size={bs} is not divisible by the {n_dev} "
+                    f"available devices — training would use {n} device(s) "
+                    f"and leave {n_dev - n} idle. Raise batch_size to a "
+                    f"multiple of {n_dev}, or set allow_idle_devices: true "
+                    "to accept the shrunken mesh.")
+                # fail hard by default: an 8-chip reservation silently
+                # training on 6 chips is a silent 25% throughput loss
+                if not config.get("allow_idle_devices", False):
+                    raise ValueError(msg)
+                print("WARNING: " + msg)
             mesh = make_mesh(shape=(n,), axis_names=("data",),
                              devices=jax.devices()[:n])
         self.mesh = mesh

@@ -196,3 +196,17 @@ def test_spmd_backward_partition_parity():
     for name, gg, ww in zip(("d_value", "d_loc", "d_attn"), got, want):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_mxu_forward_parity():
+    """The one-hot MXU matmul formulation of the forward sample must equal
+    the gather formulation exactly (documented perf experiment: measured
+    SLOWER than the packed gather on v5e — 201 vs 218M samples/s — so it
+    stays opt-in; see BENCH_NOTES.md)."""
+    for case in ({"uniform": True}, {"Lq": 7}):
+        v, loc, a = _inputs(M=2, D=8, P=2, **case)
+        want = ms_deform_attn_xla(v, SHAPES, loc, a)
+        got = ms_deform_attn_pallas(v, SHAPES, loc, a, interpret=True,
+                                    mxu=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

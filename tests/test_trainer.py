@@ -114,3 +114,21 @@ def test_trainer_resume(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p_before),
                     jax.tree_util.tree_leaves(p_restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mesh_shrink_fails_hard_without_opt_in(tmp_path):
+    """batch_size not divisible by the device count must raise (an 8-chip
+    reservation silently training on fewer chips is a silent throughput
+    loss); allow_idle_devices: true restores the shrink-with-warning."""
+    from neurips2023_soc_tpu.config import load_config
+
+    cfg = load_config("configs/tiny_synthetic.yaml", overrides={
+        "output_dir": str(tmp_path), "batch_size": 3,
+    })
+    cfg = cfg.replace(allow_idle_devices=False)
+    with pytest.raises(ValueError, match="allow_idle_devices"):
+        Trainer(cfg, lambda e: iter(()), steps_per_epoch=1)
+    # opt-in shrinks to the largest divisor instead
+    t = Trainer(cfg.replace(allow_idle_devices=True), lambda e: iter(()),
+                steps_per_epoch=1)
+    assert t.mesh.devices.size == 3
