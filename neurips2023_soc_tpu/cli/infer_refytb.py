@@ -46,15 +46,20 @@ def main():
     initialize_distributed(config)  # enables cross-host video sharding
     dataset = ReferYouTubeVOSDataset(
         "test", config.img_folder,
+        # the 202-video competition guard only applies to the real corpus
+        check_counts=bool(config.get("check_dataset_counts", True)),
         transforms_kwargs=dict(eval_short_size=config.eval_short_size,
                                eval_max_size=config.eval_max_size),
     )
     model = build_model(config)
     s0 = dataset[0]
     T0 = min(8, s0["frames"].shape[0])
+    size_buckets = tuple(tuple(b) for b in
+                         (config.get("eval_size_buckets") or ((360, 640),)))
+    H0, W0 = size_buckets[0]
     sample = (
-        np.zeros((T0, 1, 360, 640, 3), np.float32),
-        np.zeros((T0, 1, 360, 640), bool),
+        np.zeros((T0, 1, H0, W0, 3), np.float32),
+        np.zeros((T0, 1, H0, W0), bool),
         np.ones((1, config.get("text_bucket", 32)), np.int32),
         np.ones((1, config.get("text_bucket", 32)), np.int32),
     )
@@ -63,6 +68,7 @@ def main():
         model, params, text_encoder_type=config.text_encoder_type,
         text_bucket=config.get("text_bucket", 32),
         time_buckets=config.get("time_buckets"),
+        size_buckets=size_buckets,
     )
     out_dir = config.get("output_dir") or "outputs/ytvos_valid"
     t0 = time.time()

@@ -31,6 +31,7 @@ def build_train_dataset(config):
 
         return ReferYouTubeVOSDataset(
             "train", config.img_folder, window_size=config.window_size,
+            check_counts=bool(config.get("check_dataset_counts", True)),
             transforms_kwargs=tk,
         )
     if name == "a2d_sentences":

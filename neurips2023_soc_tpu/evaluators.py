@@ -249,6 +249,7 @@ def build_ytvos_evaluator(model, config, dataset=None) -> Callable:
 
             state["ds"] = ReferYouTubeVOSDataset(
                 "test", config.img_folder,
+                check_counts=bool(config.get("check_dataset_counts", True)),
                 transforms_kwargs=dict(
                     eval_short_size=config.eval_short_size,
                     eval_max_size=config.eval_max_size,

@@ -25,8 +25,9 @@ def initialize_distributed(config=None) -> bool:
 
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or (
         config.get("coordinator_address") if config is not None else None)
-    auto_env = any(k in os.environ for k in
-                   ("MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+    # NOTE: do not trust TPU_WORKER_HOSTNAMES for auto-detection — libtpu
+    # images export it with a warning STRING when undeterminable
+    auto_env = bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     if not addr and not auto_env:
         return False
     kwargs = {}

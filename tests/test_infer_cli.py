@@ -1,0 +1,100 @@
+"""End-to-end CLI drives for the inference entry points on on-disk fixtures:
+infer_refytb (valid split -> Annotations/ -> submission.zip, reference
+infer_refytb.py) and predict (one mp4 + expression -> per-frame masks,
+reference predict.py)."""
+import json
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def ytvos_valid_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ytvos_infer")
+    frames = [f"{i:05d}" for i in range(4)]
+    for vid in ["vidA", "vidB"]:
+        d = root / "valid" / "JPEGImages" / vid
+        d.mkdir(parents=True)
+        for t, fi in enumerate(frames):
+            img = (np.random.RandomState(t).rand(48, 64, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{fi}.jpg")
+    meta = {"videos": {
+        vid: {"frames": frames,
+              "expressions": {"0": {"exp": "the moving thing"}}}
+        for vid in ["vidA", "vidB"]
+    }}
+    (root / "meta_expressions" / "valid").mkdir(parents=True)
+    (root / "meta_expressions" / "valid" / "meta_expressions.json").write_text(
+        json.dumps(meta))
+    (root / "meta_expressions" / "test").mkdir(parents=True)
+    (root / "meta_expressions" / "test" / "meta_expressions.json").write_text(
+        json.dumps({"videos": {}}))
+    return root
+
+
+def _tiny_cfg(tmp_path, **overrides):
+    with open("configs/tiny_synthetic.yaml") as f:
+        raw = yaml.safe_load(f)
+    for k, v in overrides.items():
+        raw[k] = {"value": v}
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(raw))
+    return str(p)
+
+
+def test_infer_refytb_cli_end_to_end(ytvos_valid_root, tmp_path, monkeypatch):
+    from neurips2023_soc_tpu.cli import infer_refytb
+
+    out_dir = tmp_path / "out"
+    cfg = _tiny_cfg(
+        tmp_path,
+        dataset_name="ref_youtube_vos",
+        img_folder=str(ytvos_valid_root),
+        eval_short_size=48, eval_max_size=64,
+        eval_size_buckets=[[48, 64]],
+        time_buckets=[4],
+        text_bucket=12,
+        check_dataset_counts=False,
+        output_dir=str(out_dir),
+    )
+    monkeypatch.setattr(sys, "argv", ["infer_refytb", "-c", cfg, "-rm", "infer"])
+    infer_refytb.main()
+
+    z = out_dir / "submission.zip"
+    assert z.exists()
+    names = sorted(zipfile.ZipFile(z).namelist())
+    assert names == sorted(
+        f"Annotations/{vid}/0/{i:05d}.png"
+        for vid in ("vidA", "vidB") for i in range(4))
+    # masks are written at the ORIGINAL frame size
+    png = out_dir / "Annotations" / "vidA" / "0" / "00000.png"
+    assert Image.open(png).size == (64, 48)
+
+
+def test_predict_cli_end_to_end(tmp_path, monkeypatch):
+    import cv2
+
+    from neurips2023_soc_tpu.cli import predict
+
+    vp = str(tmp_path / "clip.mp4")
+    vw = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    assert vw.isOpened()
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        vw.write(rng.randint(0, 255, (48, 64, 3), np.uint8))
+    vw.release()
+
+    cfg = _tiny_cfg(tmp_path, eval_short_size=48, eval_max_size=64,
+                    time_buckets=[4], text_bucket=12)
+    out_dir = tmp_path / "pred"
+    monkeypatch.setattr(sys, "argv", [
+        "predict", "-c", cfg, "--video_path", vp,
+        "--text", "the square", "--output_dir", str(out_dir)])
+    predict.main()
+    pngs = sorted(out_dir.glob("*.png"))
+    assert [p.name for p in pngs] == [f"{t:05d}.png" for t in range(4)]
+    assert Image.open(pngs[0]).size == (64, 48)
