@@ -101,14 +101,18 @@ def main():
     base_key = ("ytvos_infer_fps_a100_provisional_swin_b"
                 if "swin-b" in primary else
                 "ytvos_infer_fps_a100_provisional_swin_t")
-    base = baselines.get("ytvos_infer_fps") or baselines.get(base_key)
+    # a per-backbone MEASURED key wins over the provisional estimate; the
+    # legacy single-value 'ytvos_infer_fps' slot applies to swin-t only
+    measured = baselines.get(f"ytvos_infer_fps_{primary}") or (
+        baselines.get("ytvos_infer_fps") if "swin-t" in primary else None)
+    base = measured or baselines.get(base_key)
     record = {
         "metric": f"ytvos_whole_clip_infer_fps_{primary}_{T}f_360x640_{dtype_name}",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / base, 3) if base else None,
     }
-    if base and baselines.get("provisional"):
+    if base and not measured and baselines.get("provisional"):
         record["baseline_provenance"] = (
             f"PROVISIONAL spec-derived A100 estimate ({base} fps, "
             "baseline_fps.json) — not a measurement")

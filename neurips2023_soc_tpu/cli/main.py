@@ -85,6 +85,9 @@ def make_batch_iterator(dataset, config, tokenizer, num_hosts=None,
 
     def train_batches(epoch: int):
         sampler.set_epoch(epoch)
+        if hasattr(dataset, "set_epoch"):
+            # advances the datasets' per-(epoch, idx) augmentation streams
+            dataset.set_epoch(epoch)
         order = list(sampler)
         order = order[: (len(order) // local_bs) * local_bs]
         batch = []

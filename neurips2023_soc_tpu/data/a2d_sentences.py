@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .collate import normalize_frames
-from .transforms import VideoTransforms
+from .transforms import VideoTransforms, stable_rng
 
 
 def get_image_id(video_id: str, frame_idx: int, ref_instance_a2d_id: int) -> str:
@@ -51,6 +51,8 @@ def read_video_frames_cv2(video_path: str, start: Optional[int] = None,
             break
         frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
     cap.release()
+    if not frames:  # seek past real EOF (metadata overestimate) or bad file
+        return np.empty((0, 0, 0, 3), np.float32)
     return np.stack(frames).astype(np.float32) / 255.0
 
 
@@ -119,6 +121,13 @@ class A2DSentencesDataset:
         self.text_annotations = build_text_annotations(
             dataset_path, subset_type, cache_dir)
         self.transforms = VideoTransforms(subset_type, **(transforms_kwargs or {}))
+        self.seed = int((transforms_kwargs or {}).get("seed") or 0)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Advance the per-sample augmentation streams (see
+        transforms.stable_rng); called by the training batch iterator."""
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.text_annotations)
@@ -133,15 +142,22 @@ class A2DSentencesDataset:
         start = frame_idx - 1 - self.window_size // 2
         end = frame_idx - 1 + (self.window_size + 1) // 2
         n_frames = video_frame_count(video_path)
+        video = np.empty(0)
+        offset = 0
         if n_frames > 0:
             # decode only the clamped window, not the whole clip
             lo = min(max(start, 0), n_frames - 1)
             hi = min(max(end, lo + 1), n_frames)
             video = read_video_frames_cv2(video_path, lo, hi)
             offset = lo
-        else:  # unreliable frame count: decode everything (reference behavior)
+        if video.size == 0:
+            # CAP_PROP_FRAME_COUNT is container metadata and can overestimate
+            # the decodable length (VFR/corrupt mp4s): the clamped window can
+            # then start past the real EOF. Fall back to the reference's
+            # whole-video decode, which clamps to what actually decodes.
             video = read_video_frames_cv2(video_path)
             offset = 0
+            assert video.size, f"no decodable frames in {video_path}"
         frames = [video[min(max(i - offset, 0), len(video) - 1)]
                   for i in range(start, end)]
 
@@ -163,7 +179,9 @@ class A2DSentencesDataset:
             box = np.zeros(4, np.float32)
         masks = mask[None, None]  # (T_tgt=1, N=1, h, w)
         boxes = box[None, None]
-        frames, masks, boxes, text = self.transforms(frames, masks, boxes, text)
+        frames, masks, boxes, text = self.transforms(
+            frames, masks, boxes, text,
+            rng=stable_rng(self.seed, self._epoch, idx))
         return {
             "frames": normalize_frames(np.stack(frames)),
             "text": text,

@@ -19,7 +19,7 @@ import numpy as np
 from PIL import Image, ImageDraw
 
 from .collate import normalize_frames
-from .transforms import VideoTransforms
+from .transforms import VideoTransforms, stable_rng
 
 
 def polygons_to_mask(polygons: List[List[float]], h: int, w: int) -> np.ndarray:
@@ -139,25 +139,32 @@ class RefCOCOClipDataset:
         self.num_frames = num_frames if as_clip else 1
         self.as_clip = as_clip
         self.train = subset_type == "train"
-        self.rng = random.Random(seed)
-        self.augmenter = ImageToSeqAugmenter(rng=self.rng)
+        self.seed = seed
+        self._epoch = 0
         self.transforms = VideoTransforms(subset_type, **(transforms_kwargs or {}))
+
+    def set_epoch(self, epoch: int):
+        """Advance the per-sample augmentation streams (transforms.stable_rng);
+        called by the training batch iterator."""
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.items)
 
     def __getitem__(self, idx: int) -> Dict:
+        # per-(epoch, idx) stream: deterministic at any worker count
+        rng = stable_rng(self.seed, self._epoch, idx)
         if not self.train:
             # eval must visit every image exactly once — no resampling
-            return self._load(idx)
+            return self._load(idx, rng)
         for _ in range(20):  # resample if referred instance never visible
-            sample = self._load(idx)
+            sample = self._load(idx, rng)
             if sample["is_visible"].any():
                 return sample
-            idx = self.rng.randint(0, len(self) - 1)
+            idx = rng.randint(0, len(self) - 1)
         return sample
 
-    def _load(self, idx: int) -> Dict:
+    def _load(self, idx: int, rng: random.Random) -> Dict:
         image_id, anns = self.items[idx]
         im_info = self.imgs[image_id]
         caption = im_info.get("caption", "")
@@ -167,14 +174,15 @@ class RefCOCOClipDataset:
         h, w = img.shape[:2]
         mask = ann_to_mask(anns[0], h, w)  # one referred instance per sample
 
+        augmenter = ImageToSeqAugmenter(rng=rng)
         seq_imgs, seq_masks = [img], [mask]
         for _ in range(self.num_frames - 1):
-            wi, wm = self.augmenter(img, [mask])
+            wi, wm = augmenter(img, [mask])
             seq_imgs.append(wi)
             seq_masks.append(wm[0])
         if self.as_clip:
             perm = list(range(self.num_frames))
-            self.rng.shuffle(perm)
+            rng.shuffle(perm)
             seq_imgs = [seq_imgs[i] for i in perm]
             seq_masks = [seq_masks[i] for i in perm]
 
@@ -190,7 +198,8 @@ class RefCOCOClipDataset:
                 visible[t, 0] = True
         frames = [f.astype(np.float32) / 255.0 for f in seq_imgs]
         text = " ".join(caption.lower().split())
-        frames, masks, boxes, text = self.transforms(frames, masks, boxes, text)
+        frames, masks, boxes, text = self.transforms(frames, masks, boxes, text,
+                                                     rng=rng)
         return {
             "frames": normalize_frames(np.stack(frames)),
             "text": text,
@@ -285,6 +294,11 @@ class ConcatClipDataset:
 
     def __len__(self):
         return int(self._offsets[-1])
+
+    def set_epoch(self, epoch: int):
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
 
     def __getitem__(self, idx: int):
         d = int(np.searchsorted(self._offsets, idx, side="right") - 1)

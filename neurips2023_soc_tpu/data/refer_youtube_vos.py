@@ -17,7 +17,7 @@ import numpy as np
 from PIL import Image
 
 from .collate import normalize_frames
-from .transforms import VideoTransforms
+from .transforms import VideoTransforms, stable_rng
 
 YTVOS_CATEGORIES = {
     'airplane': 0, 'ape': 1, 'bear': 2, 'bike': 3, 'bird': 4, 'boat': 5,
@@ -74,7 +74,14 @@ class ReferYouTubeVOSDataset:
         self.metadata_dir = metadata_dir or dataset_path
         self.samples_list = self._generate_metadata()
         self.transforms = VideoTransforms(subset_type, **(transforms_kwargs or {}))
+        self.seed = int((transforms_kwargs or {}).get("seed") or 0)
+        self._epoch = 0
         self._meta_by_video = None
+
+    def set_epoch(self, epoch: int):
+        """Advance the per-sample augmentation streams (see
+        transforms.stable_rng); called by the training batch iterator."""
+        self._epoch = epoch
 
     # ---------------- metadata ----------------
     def _generate_metadata(self) -> List[Tuple]:
@@ -183,7 +190,9 @@ class ReferYouTubeVOSDataset:
                     x1, y1, x2, y2 = _bounding_box(om)
                     boxes[t, 0] = (x1, y1, x2, y2)
                     visible[t, 0] = True
-            frames, masks, boxes, text = self.transforms(frames, masks, boxes, text)
+            frames, masks, boxes, text = self.transforms(
+                frames, masks, boxes, text,
+                rng=stable_rng(self.seed, self._epoch, idx))
             return {
                 "frames": normalize_frames(np.stack(frames)),
                 "text": text,

@@ -17,6 +17,15 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
+def stable_rng(seed: int, epoch: int, idx: int) -> random.Random:
+    """A fresh per-sample RNG keyed on (seed, epoch, idx) — thread-safe under
+    multi-worker loading (utils.prefetch.parallel_map): each sample's
+    augmentation draws are identical at ANY worker count, unlike a shared
+    dataset-level stream whose interleaving is scheduler-dependent."""
+    mix = (int(seed) * 1_000_003 + int(epoch)) * 1_000_003 + int(idx)
+    return random.Random(mix & 0x7FFFFFFFFFFFFFFF)
+
+
 def size_with_aspect_ratio(h: int, w: int, size: int,
                            max_size: Optional[int]) -> Tuple[int, int]:
     """Shorter-side resize target (reference transforms.py:186-205)."""
@@ -244,13 +253,19 @@ class VideoTransforms:
         self.rng = random.Random(seed)
 
     def __call__(self, frames: List[np.ndarray], masks: Optional[np.ndarray],
-                 boxes: Optional[np.ndarray], text: str):
+                 boxes: Optional[np.ndarray], text: str,
+                 rng: Optional[random.Random] = None):
         """frames: list of (H, W, 3) float32 [0,1]; masks (T, N, H, W) uint8;
-        boxes (T, N, 4) xyxy absolute. Returns same structures resized."""
-        if self.h_flip and self.rng.random() > 0.5:
+        boxes (T, N, 4) xyxy absolute. Returns same structures resized.
+
+        rng: per-sample stream (see stable_rng) — REQUIRED for deterministic
+        augmentations under multi-worker loading; the shared fallback stream
+        is only safe single-threaded."""
+        rng = rng if rng is not None else self.rng
+        if self.h_flip and rng.random() > 0.5:
             frames, masks, boxes, text = hflip_sample(frames, masks, boxes, text)
-        if self.random_color and self.rng.random() > 0.5:
-            frames = photometric_distort(frames, self.rng)
+        if self.random_color and rng.random() > 0.5:
+            frames = photometric_distort(frames, rng)
         if self.do_resize:
             h, w = frames[0].shape[:2]
             oh, ow = size_with_aspect_ratio(h, w, self.size, self.max_size)

@@ -186,7 +186,7 @@ def build_a2d_evaluator(dataset, tokenizer, eval_batch_size: int = 4,
 
 
 def build_pretrain_evaluator(val_sets, tokenizer, eval_batch_size: int = 1,
-                             size_buckets=None, text_bucket: int = 32) -> Callable:
+                             size_buckets=None) -> Callable:
     """Per-epoch RefCOCO/+/g validation hook for Trainer (reference
     pretrainer.py:262-286 evaluate + 354-434 evaluate_coco): every val split
     is evaluated each epoch, metrics are prefixed `{name}_`, and the
@@ -269,13 +269,26 @@ def build_ytvos_evaluator(model, config, dataset=None) -> Callable:
         out_root = Path(config.get("output_dir")
                         or f"outputs/{config.dataset_name}") / "validation_outputs"
         epoch_dir = out_root / f"epoch_{epoch}"
-        evaluate_refer_youtube_vos(engine, state["ds"], str(epoch_dir),
-                                   make_zip=False)
+        # multi-host: shard videos across processes (like infer_refytb);
+        # output_dir must be a shared filesystem so rank 0 can zip all shards
+        import jax
+
+        from .inference import shard_videos
+        from .parallel.multihost import barrier, is_main_process
+
+        ds = state["ds"]
+        if jax.process_count() > 1:
+            idx = shard_videos(list(range(len(ds))))
+            ds = [ds[i] for i in idx]
+        evaluate_refer_youtube_vos(engine, ds, str(epoch_dir), make_zip=False)
+        barrier("ytvos_eval_pngs")  # all hosts done writing PNGs
         zip_path = out_root / f"submission_epoch_{epoch}.zip"
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for p in sorted((epoch_dir / "Annotations").rglob("*.png")):
-                zf.write(p, p.relative_to(epoch_dir))
-        shutil.rmtree(epoch_dir)  # reference trainer.py:350
+        if is_main_process():
+            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+                for p in sorted((epoch_dir / "Annotations").rglob("*.png")):
+                    zf.write(p, p.relative_to(epoch_dir))
+            shutil.rmtree(epoch_dir)  # reference trainer.py:350
+        barrier("ytvos_eval_zip")
         return {"submission_zip": str(zip_path)}
 
     return evaluate
@@ -288,8 +301,13 @@ def evaluate_refer_youtube_vos(
     make_zip: bool = True,
 ) -> Dict[str, str]:
     """Run whole-video inference over the valid split and write the
-    competition submission (reference trainer.py:315-354)."""
+    competition submission (reference trainer.py:315-354).
+
+    Multi-host: callers shard the dataset per process (shard_videos); the
+    zip is created by rank 0 only, AFTER a barrier, so it contains every
+    host's predictions — output_dir must be a shared filesystem."""
     from .inference import save_ytvos_predictions, zip_submission
+    from .parallel.multihost import barrier, is_main_process
     from .utils.prefetch import prefetch
 
     preds = []
@@ -304,5 +322,8 @@ def evaluate_refer_youtube_vos(
     save_ytvos_predictions(preds, output_dir)
     out = {"predictions_dir": output_dir}
     if make_zip:
-        out["submission_zip"] = zip_submission(output_dir)
+        barrier("ytvos_submission_pngs")  # all hosts done writing
+        if is_main_process():
+            out["submission_zip"] = zip_submission(output_dir)
+        barrier("ytvos_submission_zip")
     return out

@@ -25,9 +25,14 @@ def initialize_distributed(config=None) -> bool:
 
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or (
         config.get("coordinator_address") if config is not None else None)
-    # NOTE: do not trust TPU_WORKER_HOSTNAMES for auto-detection — libtpu
-    # images export it with a warning STRING when undeterminable
-    auto_env = bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    # single-slice multi-host pods export TPU_WORKER_HOSTNAMES as a
+    # comma-separated host list; libtpu images export a warning STRING when
+    # undeterminable — only trust values that look like hostnames. And a
+    # 1-host list means single-process: initializing buys nothing.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    hosts_valid = ("," in hosts and " " not in hosts
+                   and not hosts.startswith("WARNING"))
+    auto_env = bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")) or hosts_valid
     if not addr and not auto_env:
         return False
     kwargs = {}

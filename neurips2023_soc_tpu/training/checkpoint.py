@@ -25,9 +25,15 @@ class CheckpointManager:
 
     def save(self, epoch: int, state: Dict[str, Any], is_best: bool,
              extra: Optional[Dict[str, Any]] = None):
+        import jax
+
         path = self._path(epoch)
+        # the orbax save is COLLECTIVE (all processes participate); the json
+        # sidecars and pruning are host-file work for rank 0 only
         self._ckptr.save(path.absolute(), state, force=True)
         self._ckptr.wait_until_finished()
+        if jax.process_index() != 0:
+            return
         meta = {"epoch": epoch, **(extra or {})}
         (path / "meta.json").write_text(json.dumps(meta))
         if is_best:

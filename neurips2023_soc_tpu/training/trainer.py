@@ -222,10 +222,15 @@ class Trainer:
 
             is_best = self._update_best(eval_metrics, epoch_loss)
             self.save_checkpoint(is_best, log_stats)
-            with open(self.output_dir / "log.txt", "a") as f:
-                f.write(json.dumps(log_stats) + "\n")
-            if self._wandb is not None:
-                self._wandb.log(log_stats)
+            # rank-0-only host writes (reference trainer.py:243-244 gates on
+            # is_main_process); orbax saves above stay collective
+            from ..parallel.multihost import is_main_process
+
+            if is_main_process():
+                with open(self.output_dir / "log.txt", "a") as f:
+                    f.write(json.dumps(log_stats) + "\n")
+                if self._wandb is not None:
+                    self._wandb.log(log_stats)
 
     def _update_best(self, eval_metrics: Dict, epoch_loss: float) -> bool:
         if self.dataset_name == "a2d_sentences":
@@ -234,10 +239,12 @@ class Trainer:
                 self.best_map = m
                 return True
             return False
-        if self._is_pretrain:
+        if self._is_pretrain and "mean_mask_mAP" in eval_metrics:
             # best by mean mask-mAP over the three RefCOCO val splits
-            # (reference pretrainer.py:234-238)
-            m = eval_metrics.get("mean_mask_mAP", 0.0) or 0.0
+            # (reference pretrainer.py:234-238); without val sets the
+            # loss fallback below applies ("checkpointing by train loss
+            # only", cli/main_pretrain.py)
+            m = eval_metrics["mean_mask_mAP"] or 0.0
             if m > self.best_map:
                 self.best_map = m
                 return True

@@ -236,6 +236,8 @@ def test_a2d_getitem_window_via_range_decode(a2d_video, frame_idx):
     ds.videos_dir = str(d)
     ds.mask_annotations_dir = str(d / "masks")
     ds.text_annotations = [("a gray screen", "vid0", frame_idx, 7)]
+    ds.seed = 0
+    ds._epoch = 0
     ds.transforms = VideoTransforms(
         "test", eval_short_size=24, eval_max_size=32)
     s = ds[0]

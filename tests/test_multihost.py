@@ -161,3 +161,60 @@ def test_two_process_distributed_global_batch(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"OK process {pid}" in out
+
+
+def test_worker_count_invariant_augmentations(tmp_path):
+    """Datasets that draw augmentation randomness must yield IDENTICAL
+    batches at any worker count (per-(epoch, idx) streams via
+    transforms.stable_rng) and DIFFERENT augmentations across epochs —
+    a shared dataset-level RNG would interleave nondeterministically under
+    parallel_map (code-review r3 finding)."""
+    import json as _json
+
+    from PIL import Image
+
+    from neurips2023_soc_tpu.cli.main import make_batch_iterator
+    from neurips2023_soc_tpu.config import load_config
+    from neurips2023_soc_tpu.data.coco_ref import RefCOCOClipDataset
+    from neurips2023_soc_tpu.models.text_encoder import build_tokenizer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for iid in range(1, 5):
+        arr = rng.randint(0, 255, (32, 40, 3), np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im_{iid}.jpg")
+        images.append({"id": iid, "file_name": f"im_{iid}.jpg",
+                       "height": 32, "width": 40, "caption": f"thing {iid}"})
+        annotations.append({
+            "id": iid, "image_id": iid, "category_id": 1,
+            "segmentation": [[4, 5, 20, 5, 20, 25, 4, 25]],
+            "bbox": [4, 5, 16, 20], "area": 320.0, "iscrowd": 0})
+    ann = tmp_path / "train.json"
+    ann.write_text(_json.dumps({"images": images, "annotations": annotations,
+                                "categories": [{"id": 1, "name": "o"}]}))
+
+    tk = dict(horizontal_flip_augmentations=True,
+              resize_and_crop_augmentations=True, random_color=True,
+              train_short_size=32, train_max_size=48, seed=3)
+    ds = RefCOCOClipDataset(str(ann), str(img_dir), num_frames=3,
+                            transforms_kwargs=tk, seed=3)
+    tok = build_tokenizer("roberta-tiny", text_bucket=8)
+    cfg = load_config("configs/tiny_synthetic.yaml", overrides={
+        "batch_size": 2, "window_size": 3,
+        "train_short_size": 32, "train_max_size": 48, "num_workers": 4,
+    })
+    b4 = list(make_batch_iterator(ds, cfg, tok, num_hosts=1, host_id=0)(0))
+    b0 = list(make_batch_iterator(ds, cfg.replace(num_workers=0), tok,
+                                  num_hosts=1, host_id=0)(0))
+    assert len(b4) == len(b0) == 2
+    for a, b in zip(b4, b0):
+        np.testing.assert_array_equal(a["pixels"], b["pixels"])
+        np.testing.assert_array_equal(a["masks"], b["masks"])
+
+    # epochs advance the augmentation streams (same sample, different warp)
+    e1 = list(make_batch_iterator(ds, cfg.replace(num_workers=0), tok,
+                                  num_hosts=1, host_id=0)(1))
+    assert any(np.abs(a["pixels"] - b["pixels"]).max() > 1e-6
+               for a, b in zip(b0, e1))
