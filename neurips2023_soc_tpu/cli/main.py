@@ -50,7 +50,7 @@ def build_train_dataset(config):
 
 
 def make_batch_iterator(dataset, config, tokenizer, num_hosts=None,
-                        host_id=None):
+                        host_id=None, time_buckets=None):
     """Per-epoch shuffled batch iterator with per-host sharding and a
     multi-worker sample loader.
 
@@ -70,9 +70,10 @@ def make_batch_iterator(dataset, config, tokenizer, num_hosts=None,
     from ..utils.prefetch import parallel_map
 
     # one static (T, H, W) bucket derived from the training transform sizes
-    # keeps every epoch on a single compiled program
+    # keeps every epoch on a single compiled program (pretrain overrides the
+    # time bucket to 1: its samples are single frames)
     size_buckets = ((config.train_short_size, config.train_max_size),)
-    time_buckets = (config.window_size,)
+    time_buckets = time_buckets or (config.window_size,)
     num_hosts = num_hosts if num_hosts is not None else jax.process_count()
     host_id = host_id if host_id is not None else jax.process_index()
     bs = int(config.batch_size)

@@ -35,7 +35,9 @@ def main():
         ),
     )
     coco_cfg = config.replace(img_folder=args.coco_folder)
-    coco = build_pretrain_dataset(coco_cfg)
+    # joint training uses the 8-frame image-as-clip pipeline (reference
+    # ref2seq.py), unlike the single-frame pretrainer
+    coco = build_pretrain_dataset(coco_cfg, as_clip=True)
     dataset = ConcatClipDataset([coco, ytvos])
 
     tokenizer = build_tokenizer(config.text_encoder_type,

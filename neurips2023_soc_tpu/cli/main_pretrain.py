@@ -20,7 +20,12 @@ REFCOCO_ANN_FILES = {
 }
 
 
-def build_pretrain_dataset(config):
+def build_pretrain_dataset(config, as_clip: bool = False):
+    """as_clip=False (pretrain): single-frame T=1 samples, matching the
+    reference pretrainer which trains on refercoco.ModulatedDetection images
+    (reference pretrainer.py:67-73 + refercoco.py:49-50 'T = 1').
+    as_clip=True (joint): 8-frame pseudo-videos via the warp augmenter,
+    matching the joint trainer's ref2seq datasets."""
     tk = dict(
         horizontal_flip_augmentations=config.horizontal_flip_augmentations,
         resize_and_crop_augmentations=config.resize_and_crop_augmentations,
@@ -38,7 +43,7 @@ def build_pretrain_dataset(config):
             parts.append(RefCOCOClipDataset(
                 ann_path, path.join(config.img_folder, "train2014"),
                 num_frames=config.window_size, transforms_kwargs=tk,
-                seed=config.seed,
+                seed=config.seed, as_clip=as_clip,
             ))
     assert parts, f"no refcoco annotation files under {config.img_folder}/annotations"
     return ConcatClipDataset(parts)
@@ -73,10 +78,11 @@ def main():
     initialize_distributed(config)
     tokenizer = build_tokenizer(config.text_encoder_type,
                                 config.get("text_bucket", 32))
-    dataset = build_pretrain_dataset(config)
+    dataset = build_pretrain_dataset(config)  # single-frame, like reference
     trainer = Trainer(
         config,
-        train_batches=make_batch_iterator(dataset, config, tokenizer),
+        train_batches=make_batch_iterator(dataset, config, tokenizer,
+                                          time_buckets=(1,)),
         steps_per_epoch=len(dataset) // config.batch_size,
         evaluate_fn=build_pretrain_evaluate_fn(config, tokenizer),
     )

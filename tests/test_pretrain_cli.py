@@ -78,13 +78,20 @@ def test_pretrain_workflow(coco_root, tmp_path):
 
     dataset = build_pretrain_dataset(cfg)
     assert len(dataset) == 4  # only refcoco has a train json
+    # pretrain trains on SINGLE frames (reference refercoco.py:49-50 T=1);
+    # the joint trainer's as_clip=True path keeps the pseudo-videos
+    assert dataset[0]["frames"].shape[0] == 1
+    assert build_pretrain_dataset(cfg, as_clip=True)[0]["frames"].shape[0] == 2
 
     evaluate_fn = build_pretrain_evaluate_fn(cfg, tok)
     assert evaluate_fn is not None  # both val jsons resolved
 
+    train_batches = make_batch_iterator(dataset, cfg, tok, time_buckets=(1,))
+    first = next(iter(train_batches(0)))
+    assert first["pixels"].shape[0] == 1  # T=1 batches, no padded frames
     trainer = Trainer(
         cfg,
-        train_batches=make_batch_iterator(dataset, cfg, tok),
+        train_batches=train_batches,
         steps_per_epoch=len(dataset) // cfg.batch_size,
         evaluate_fn=evaluate_fn,
     )
@@ -118,7 +125,8 @@ def test_pretrain_workflow(coco_root, tmp_path):
     cfg2 = _make_config(coco_root, out_dir, epochs=2)
     trainer2 = Trainer(
         cfg2,
-        train_batches=make_batch_iterator(dataset, cfg2, tok),
+        train_batches=make_batch_iterator(dataset, cfg2, tok,
+                                          time_buckets=(1,)),
         steps_per_epoch=len(dataset) // cfg2.batch_size,
         evaluate_fn=evaluate_fn,
     )
