@@ -125,8 +125,11 @@ class WindowAttention3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, eff_window: Window,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """x: (B_, N, C) windows; mask: (nW, N, N) additive or None."""
+                 mask: Optional[jnp.ndarray] = None,
+                 region_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x: (B_, N, C) windows; mask: (nW, N, N) additive or None;
+        region_ids: compact (nW, N) labels for the Pallas kernel (which
+        rebuilds the mask in VMEM instead of streaming it from HBM)."""
         from ..ops.window_attention import window_attention
 
         B_, N, C = x.shape
@@ -152,7 +155,8 @@ class WindowAttention3D(nn.Module):
         # indexes the full-window table with index[:N, :N] — same here.
         bias = _rel_pos_bias(bias_table, self.window, N)  # (H, N, N)
 
-        out = window_attention(q, k, v, bias, mask, impl=self.attn_impl)
+        out = window_attention(q, k, v, bias, mask, ids=region_ids,
+                               impl=self.attn_impl)
         out = out.astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
@@ -183,9 +187,17 @@ class SwinBlock3D(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
         Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
 
+        region_ids = None
         if any(s > 0 for s in shift):
             x = jnp.roll(x, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-            mask = _attn_mask(Dp, Hp, Wp, window, shift)
+            if self.attn_impl == "pallas":
+                # the fused kernel rebuilds the mask in VMEM from the compact
+                # labels; never materialize the (nW, N, N) mask in HBM
+                mask = None
+                region_ids = jnp.asarray(
+                    _np_window_region_ids(Dp, Hp, Wp, window, shift))
+            else:
+                mask = _attn_mask(Dp, Hp, Wp, window, shift)
         else:
             mask = None
 
@@ -197,7 +209,7 @@ class SwinBlock3D(nn.Module):
         xw = WindowAttention3D(
             self.dim, self.window, self.num_heads, self.qkv_bias,
             attn_impl=self.attn_impl, dtype=self.dtype, name="attn",
-        )(xw, window, mask)
+        )(xw, window, mask, region_ids)
 
         x = xw.reshape(B, nwd, nwh, nww, wd, wh, ww, C)
         x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(B, Dp, Hp, Wp, C)

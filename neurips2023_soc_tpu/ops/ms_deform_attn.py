@@ -196,6 +196,33 @@ def ms_deform_attn_xla(
     return out.reshape(B, Lq, M * D).astype(value.dtype)
 
 
+def resolve_msda_impl(impl: str, num_queries: int, num_tokens: int,
+                      backend: str) -> str:
+    """Resolve impl='auto' to 'pallas' or 'xla'.
+
+    The Pallas kernel wins ~25% end-to-end on TPU (BENCH_NOTES.md) and is
+    SPMD batch-partitionable (pallas_msda._spmd_pallas_forward), so
+    dense-query TPU calls use it — single chip or multi-device pjit (the
+    round-2 device_count==1 gate also mis-fired on single-device jits on
+    multi-chip hosts, ADVICE r2). Only TPU backends can lower the Mosaic
+    kernel ("axon" is the tunneled TPU plugin on this image); GPU/CPU fall
+    back to XLA, which is both the oracle and the faster interpreter there.
+
+    Query-sparsity heuristic (round 3, measured on v5e at the flagship
+    pyramid, B=16): the kernel's cost has a large Lq-independent term (the
+    in-VMEM patch-table build over all S tokens), so at the DECODER shape
+    (Lq=20 object queries vs S=4820) it costs 12.2 ms where the XLA gather
+    path costs 2.1 ms; at the ENCODER shape (Lq == S) the kernel wins ~2x.
+    Route sparse-query calls (object queries) to XLA and dense ones
+    (encoder self-attention) to the kernel — worth ~30 ms/clip at T=16
+    (3 decoder layers)."""
+    if impl != "auto":
+        return impl
+    on_tpu = backend in ("tpu", "axon")
+    dense_queries = 4 * num_queries >= num_tokens
+    return "pallas" if (on_tpu and dense_queries) else "xla"
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "impl"))
 def ms_deform_attn(
     value: jnp.ndarray,
@@ -205,16 +232,9 @@ def ms_deform_attn(
     impl: str = "xla",
 ) -> jnp.ndarray:
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
-    if impl == "auto":
-        # the Pallas kernel wins ~25% end-to-end on TPU (BENCH_NOTES.md) and
-        # is SPMD batch-partitionable (pallas_msda._spmd_pallas_forward), so
-        # every TPU config uses it — single chip or multi-device pjit (the
-        # round-2 device_count==1 gate also mis-fired on single-device jits
-        # on multi-chip hosts, ADVICE r2). Only TPU backends can lower the
-        # Mosaic kernel ("axon" is the tunneled TPU plugin on this image);
-        # GPU/CPU fall back to XLA, which is both the oracle and the faster
-        # interpreter there.
-        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    impl = resolve_msda_impl(
+        impl, sampling_locations.shape[1],
+        sum(h * w for h, w in spatial_shapes), jax.default_backend())
     if impl == "pallas":
         from .pallas_msda import ms_deform_attn_pallas_op
 

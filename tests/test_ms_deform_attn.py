@@ -138,3 +138,27 @@ def test_degenerate_level_shapes_vs_oracle():
         mine = np.asarray(ms_deform_attn(value, shapes, loc, attn))
         np.testing.assert_allclose(mine, ref, rtol=1e-5, atol=1e-5,
                                    err_msg=str(shapes))
+
+
+def test_resolve_msda_impl_query_sparsity():
+    """impl='auto' routes sparse-query (decoder) calls to XLA and dense
+    (encoder, Lq==S) calls to the Pallas kernel on TPU backends; CPU/GPU
+    always resolve to XLA; explicit impls pass through untouched
+    (measured rationale in the resolve_msda_impl docstring)."""
+    from neurips2023_soc_tpu.ops.ms_deform_attn import resolve_msda_impl
+
+    S = 4820
+    # encoder: dense queries -> kernel on TPU
+    assert resolve_msda_impl("auto", S, S, "tpu") == "pallas"
+    assert resolve_msda_impl("auto", S, S, "axon") == "pallas"
+    # decoder: 20 object queries -> XLA even on TPU
+    assert resolve_msda_impl("auto", 20, S, "tpu") == "xla"
+    # crossover at 4*Lq == S
+    assert resolve_msda_impl("auto", S // 4, S, "tpu") == "pallas"
+    assert resolve_msda_impl("auto", S // 4 - 1, S, "tpu") == "xla"
+    # non-TPU backends never pick the Mosaic kernel
+    assert resolve_msda_impl("auto", S, S, "cpu") == "xla"
+    assert resolve_msda_impl("auto", S, S, "gpu") == "xla"
+    # explicit impls are never overridden
+    assert resolve_msda_impl("pallas", 20, S, "cpu") == "pallas"
+    assert resolve_msda_impl("xla", S, S, "tpu") == "xla"
