@@ -81,8 +81,14 @@ class JHMDBSentencesDataset:
             self.samples_metadata[idx]
         text = " ".join(text.lower().split())
 
-        # window of window_size frames centered on the chosen frame
+        masks = scipy.io.loadmat(masks_path)["part_mask"]
+
+        # window of window_size frames centered on the chosen frame; trailing
+        # frames without masks are excluded from the window like the
+        # reference's video_frames_paths[:video_total_masks] truncation
+        # (reference jhmdb_sentences_dataset.py:65-68, 104-105)
         all_frames = sorted(glob(path.join(path.dirname(frame_path), "*.png")))
+        all_frames = all_frames[: masks.shape[-1]]
         pos = all_frames.index(frame_path)
         start = pos - self.window_size // 2
         end = pos + (self.window_size + 1) // 2
@@ -94,7 +100,6 @@ class JHMDBSentencesDataset:
                 / 255.0
             )
 
-        masks = scipy.io.loadmat(masks_path)["part_mask"]
         mask = masks[..., frame_idx].astype(np.uint8)  # (H, W)
         h, w = mask.shape
         if mask.any():

@@ -253,3 +253,90 @@ def test_a2d_getitem_window_via_range_decode(a2d_video, frame_idx):
 
     oracle = normalize_frames(np.stack([video[i] for i in want]))
     np.testing.assert_array_equal(s["frames"], oracle)
+
+
+def test_jhmdb_window_excludes_unannotated_tail(tmp_path):
+    """Some JHMDB videos have trailing frames without masks; the reference
+    truncates the frame list to the mask count before windowing
+    (jhmdb_sentences_dataset.py:65-68), so edge clamping repeats the LAST
+    ANNOTATED frame, never an unannotated one."""
+    import scipy.io
+
+    from neurips2023_soc_tpu.data import jhmdb_sentences as jh
+
+    root = tmp_path
+    vid = "clap_vid"
+    d = root / "Rename_Images" / "action" / vid
+    d.mkdir(parents=True)
+    for t in range(5):  # 5 frames on disk...
+        img = np.full((32, 40, 3), 40 * (t + 1), np.uint8)
+        Image.fromarray(img).save(d / f"{t + 1:05d}.png")
+    md = root / "puppet_mask" / "action" / vid
+    md.mkdir(parents=True)
+    mask = np.zeros((32, 40, 3), np.uint8)  # ...but only 3 annotated
+    mask[5:20, 10:30, :] = 1
+    scipy.io.savemat(md / "puppet_mask.mat", {"part_mask": mask})
+
+    frames = sorted((d).glob("*.png"))
+    meta = [(vid, str(frames[2]), str(md / "puppet_mask.mat"), 2, "a person")]
+    ds = jh.JHMDBSentencesDataset.__new__(jh.JHMDBSentencesDataset)
+    ds.window_size = 4
+    ds.samples_metadata = meta
+    ds.transforms = jh.VideoTransforms(
+        "test", eval_short_size=32, eval_max_size=40)
+
+    s = ds[0]
+    out = np.asarray(s["frames"])  # (T, H, W, 3) normalized
+    assert out.shape[0] == 4
+    # window [0,1,2,3] clamps to annotated range [0,2]: last two frames are
+    # both the final annotated frame
+    np.testing.assert_array_equal(out[-1], out[-2])
+    # the unannotated frames (constant 160/200) never appear: every window
+    # frame comes from the first three (constant 40/80/120) source images
+    uniq = {out[t].mean().round(4) for t in range(4)}
+    assert len(uniq) == 3
+
+
+def test_refer_davis_dataset(tmp_path):
+    from neurips2023_soc_tpu.data.davis import ReferDAVISDataset
+
+    root = tmp_path
+    frames = [f"{i:05d}" for i in range(4)]
+    for vid in ["dog", "goat"]:
+        d = root / "valid" / "JPEGImages" / vid
+        d.mkdir(parents=True)
+        for i, f in enumerate(frames):
+            img = (np.random.RandomState(i).rand(40, 56, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{f}.jpg")
+    meta = {
+        "videos": {
+            vid: {
+                "frames": frames,
+                "expressions": {
+                    "0": {"exp": "a Dog  running"},
+                    "1": {"exp": "the second dog"},
+                    "2": {"exp": "third"},
+                    "3": {"exp": "fourth"},
+                },
+            }
+            for vid in ["dog", "goat"]
+        }
+    }
+    md = root / "meta_expressions" / "valid"
+    md.mkdir(parents=True)
+    (md / "meta_expressions.json").write_text(json.dumps(meta))
+
+    ds = ReferDAVISDataset(
+        "valid", str(root),
+        transforms_kwargs=dict(eval_short_size=40, eval_max_size=56),
+    )
+    # 2 videos x 4 expressions (4 per annotator, merged downstream)
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["frames"].shape == (4, 40, 56, 3)
+    assert s["text"] == "a dog running"  # lowercased, whitespace-collapsed
+    vm = s["video_metadata"]
+    assert vm["video_id"] in ("dog", "goat")
+    assert vm["frame_indices"] == frames
+    assert vm["original_frame_size"] == (40, 56)
+    assert vm["exp_id"] == "0"
