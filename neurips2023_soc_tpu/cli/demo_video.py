@@ -32,12 +32,17 @@ def main():
     parser.add_argument("--video_path", default=None)
     parser.add_argument("--text", default="the red square moving right")
     parser.add_argument("--checkpoint_path", "-ckpt", default=None)
+    parser.add_argument("--backbone", "-b", default=None)
+    parser.add_argument("--backbone_pretrained_path", "-bpp", default=None)
     parser.add_argument("--output_dir", default="outputs/demo")
     parser.add_argument("--frame_stride", type=int, default=5)
     parser.add_argument("--synthetic", action="store_true")
     args = parser.parse_args()
-    config = load_config(args.config_path,
-                         overrides={"checkpoint_path": args.checkpoint_path})
+    config = load_config(args.config_path, overrides={
+        "checkpoint_path": args.checkpoint_path,
+        "backbone": args.backbone,
+        "backbone_pretrained_path": args.backbone_pretrained_path,
+    })
 
     if args.synthetic:
         from ..data.synthetic import SyntheticRVOSDataset

@@ -24,6 +24,10 @@ from .infer_refytb import load_params
 
 def main():
     parser = add_config_args(argparse.ArgumentParser("Ref-DAVIS inference"))
+    parser.add_argument("--visualize", action="store_true",
+                        help="also write per-object mask overlays on the "
+                             "original frames (reference infer_davis.py "
+                             "--visualize)")
     args = parser.parse_args()
     config = config_from_args(args)
     from ..parallel import initialize_distributed
@@ -83,6 +87,22 @@ def main():
             save_davis_annotator_masks(
                 merged, str(out_root / f"anno_{anno_id}" / video_id), frame_names
             )
+            if config.get("visualize"):
+                # reference infer_davis.py:274-283 ({split}_images tree);
+                # here each object id gets its own palette color
+                from PIL import Image
+
+                from ..utils.visualize import vis_add_index_mask
+
+                vd = out_root / "valid_images" / f"anno_{anno_id}" / video_id
+                vd.mkdir(parents=True, exist_ok=True)
+                for t, name in enumerate(frame_names):
+                    jpg = (Path(config.img_folder) / "valid" / "JPEGImages"
+                           / video_id / f"{name}.jpg")
+                    img = np.asarray(Image.open(jpg).convert("RGB"))
+                    Image.fromarray(
+                        vis_add_index_mask(img, merged[t])
+                    ).save(vd / f"{name}.png")
         print(f"{video_id}: done ({time.time() - t0:.1f}s elapsed)")
 
 

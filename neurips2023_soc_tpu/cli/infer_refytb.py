@@ -39,6 +39,9 @@ def load_params(config, model, sample_args):
 
 def main():
     parser = add_config_args(argparse.ArgumentParser("Ref-YTVOS inference"))
+    parser.add_argument("--visualize", action="store_true",
+                        help="also write box+mask overlays on the original "
+                             "frames (reference infer_refytb.py --visualize)")
     args = parser.parse_args()
     config = config_from_args(args)
     from ..parallel import initialize_distributed
@@ -85,7 +88,18 @@ def main():
             def __getitem__(self, i):
                 return self.ds[self.idx[i]]
         dataset = _Shard(dataset)
-    result = evaluate_refer_youtube_vos(engine, dataset, out_dir)
+    vis_kwargs = {}
+    if config.get("visualize"):
+        from os import path as osp
+
+        vis_kwargs = dict(
+            # reference infer_refytb.py:61: {split}_images beside Annotations
+            visualize_dir=osp.join(out_dir, "valid_images"),
+            frame_path_fn=lambda vid, frame: osp.join(
+                config.img_folder, "valid", "JPEGImages", vid, frame + ".jpg"
+            ),
+        )
+    result = evaluate_refer_youtube_vos(engine, dataset, out_dir, **vis_kwargs)
     print(f"done in {time.time() - t0:.1f}s -> {result}")
 
 

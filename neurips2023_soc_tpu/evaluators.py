@@ -299,9 +299,15 @@ def evaluate_refer_youtube_vos(
     dataset,
     output_dir: str,
     make_zip: bool = True,
+    visualize_dir: str = None,
+    frame_path_fn=None,
 ) -> Dict[str, str]:
     """Run whole-video inference over the valid split and write the
     competition submission (reference trainer.py:315-354).
+
+    With visualize_dir + frame_path_fn(video_id, frame_name) -> jpg path,
+    also writes box+mask overlays on the ORIGINAL frames, one palette color
+    per expression (reference infer_refytb.py --visualize, 240-266).
 
     Multi-host: callers shard the dataset per process (shard_videos); the
     zip is created by rank 0 only, AFTER a barrier, so it contains every
@@ -315,9 +321,18 @@ def evaluate_refer_youtube_vos(
     samples = prefetch((dataset[i] for i in range(len(dataset))), buffer_size=2)
     for s in samples:
         meta = s["video_metadata"]
-        masks = engine.infer_video(
-            s["frames"], s["text"], original_size=meta["original_frame_size"]
-        )
+        if visualize_dir is not None:
+            masks, boxes = engine.infer_video(
+                s["frames"], s["text"],
+                original_size=meta["original_frame_size"], return_boxes=True,
+            )
+            _save_ytvos_overlays(meta, masks, boxes, visualize_dir,
+                                 frame_path_fn)
+        else:
+            masks = engine.infer_video(
+                s["frames"], s["text"],
+                original_size=meta["original_frame_size"],
+            )
         preds.append({**meta, "pred_masks": masks})
     save_ytvos_predictions(preds, output_dir)
     out = {"predictions_dir": output_dir}
@@ -327,3 +342,23 @@ def evaluate_refer_youtube_vos(
             out["submission_zip"] = zip_submission(output_dir)
         barrier("ytvos_submission_zip")
     return out
+
+
+def _save_ytvos_overlays(meta, masks, boxes, visualize_dir, frame_path_fn):
+    """Write box+mask overlays on original frames, colored by expression id
+    (reference infer_refytb.py:240-266: {split}_images/{video}/{exp}/)."""
+    from pathlib import Path
+
+    from PIL import Image
+
+    from .utils.visualize import overlay_prediction
+
+    d = Path(visualize_dir) / meta["video_id"] / meta["exp_id"]
+    d.mkdir(parents=True, exist_ok=True)
+    color_index = int(meta["exp_id"]) if str(meta["exp_id"]).isdigit() else 0
+    for t, frame in enumerate(meta["frame_indices"]):
+        img = np.asarray(
+            Image.open(frame_path_fn(meta["video_id"], frame)).convert("RGB")
+        )
+        out = overlay_prediction(img, masks[t], boxes[t], color_index)
+        Image.fromarray(out).save(d / f"{frame}.png")

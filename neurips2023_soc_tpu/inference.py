@@ -61,9 +61,11 @@ class InferenceEngine:
             out = model.apply(params, pixels, pad_mask, ids, msk)
             pred_cls = out["pred_cls"][-1]  # (T, 1, Nq, K)
             pred_masks = out["pred_masks"][-1]  # (T, 1, Nq, h, w)
+            pred_boxes = out["pred_boxes"][-1]  # (T, 1, Nq, 4) cxcywh in [0,1]
             scores = jax.nn.sigmoid(pred_cls.astype(jnp.float32))[:, 0]  # (T,Nq,K)
             # stride-4 logits for every query, bf16 to keep transfers small
-            return scores.max(-1), pred_masks[:, 0].astype(jnp.bfloat16)
+            return scores.max(-1), pred_masks[:, 0].astype(jnp.bfloat16), \
+                pred_boxes[:, 0]
 
         return run
 
@@ -78,6 +80,7 @@ class InferenceEngine:
         original_size: Optional[Tuple[int, int]] = None,
         return_probs: bool = False,
         trajectory: str = "video",
+        return_boxes: bool = False,
     ) -> np.ndarray:
         """frames: (T, h, w, 3) float32 normalized (resized, unpadded).
 
@@ -86,14 +89,17 @@ class InferenceEngine:
         (reference infer_davis.py:242-247).
 
         Returns (T, H_orig, W_orig) uint8 masks (or float32 probabilities at
-        original size when return_probs, for DAVIS multi-object merging)."""
+        original size when return_probs, for DAVIS multi-object merging).
+        With return_boxes, returns (masks_or_probs, boxes) where boxes is
+        (T, 4) xyxy pixels at original size for the chosen trajectory
+        (reference infer_refytb.py:247 rescale_bboxes)."""
         T_total, fh, fw, _ = frames.shape
         H, W = pick_size_bucket(fh, fw, self.size_buckets)
         ids, msk = self.tokenizer([text])
         run = self._get_program()
 
         chunk = max(self.time_buckets)
-        all_scores, all_logits = [], []
+        all_scores, all_logits, all_boxes = [], [], []
         for start in range(0, T_total, chunk):
             clip = frames[start : start + chunk]
             t = clip.shape[0]
@@ -104,9 +110,10 @@ class InferenceEngine:
             if t < T:  # repeat last frame into padding (content only)
                 pixels[t:, 0, :fh, :fw] = clip[-1]
             pad[:, :, :fh, :fw] = False
-            scores, logits = run(self.params, pixels, pad, ids, msk)
+            scores, logits, boxes = run(self.params, pixels, pad, ids, msk)
             all_scores.append(np.asarray(scores[:t]))  # (t, Nq)
             all_logits.append(np.asarray(logits[:t]).astype(np.float32))
+            all_boxes.append(np.asarray(boxes[:t]).astype(np.float32))
 
         scores = np.concatenate(all_scores, 0)  # (T_total, Nq)
         outs, probs = [], []
@@ -132,9 +139,28 @@ class InferenceEngine:
             prob = 1.0 / (1.0 + np.exp(-np.clip(up, -30.0, 30.0)))
             probs.append(prob.astype(np.float32))
             outs.append((prob > 0.5).astype(np.uint8))
-        if return_probs:
-            return np.concatenate(probs, 0)
-        return np.concatenate(outs, 0)
+        result = (np.concatenate(probs, 0) if return_probs
+                  else np.concatenate(outs, 0))
+        if not return_boxes:
+            return result
+
+        # chosen-trajectory boxes: cxcywh normalized over the PADDED (H, W)
+        # canvas -> xyxy pixels at original size. The content occupies
+        # [:fh, :fw] starting at the origin, so padded pixels map to original
+        # via * (orig / content_extent).
+        oh, ow = (original_size if original_size is not None else (fh, fw))
+        sx, sy = W * float(ow) / fw, H * float(oh) / fh
+        box_rows = []
+        for bx, q in zip(all_boxes, chosen):
+            cx, cy, bw, bh = [bx[:, q, k] for k in range(4)]
+            xyxy = np.stack(
+                [(cx - bw / 2) * sx, (cy - bh / 2) * sy,
+                 (cx + bw / 2) * sx, (cy + bh / 2) * sy], -1)
+            box_rows.append(xyxy)
+        boxes = np.concatenate(box_rows, 0)
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, ow)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, oh)
+        return result, boxes
 
 
 def shard_videos(items: List, num_shards: Optional[int] = None,

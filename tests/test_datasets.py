@@ -340,3 +340,78 @@ def test_refer_davis_dataset(tmp_path):
     assert vm["frame_indices"] == frames
     assert vm["original_frame_size"] == (40, 56)
     assert vm["exp_id"] == "0"
+
+
+def test_prepare_ref_davis_conversion(tmp_path):
+    """Raw DAVIS download -> YTVOS layout (reference
+    davis2017/convert_davis_to_ytbs.py): expression ids interleave
+    [annot1-first, annot1-full, annot2-first, annot2-full] per object,
+    misspelled video names are fixed, annotator-2 files parse as latin-1,
+    and the converted tree loads directly through ReferDAVISDataset."""
+    from neurips2023_soc_tpu.data.davis import ReferDAVISDataset
+    from neurips2023_soc_tpu.data.prepare_davis import prepare_ref_davis
+
+    raw = tmp_path / "raw"
+    sets = raw / "DAVIS" / "ImageSets" / "2017"
+    sets.mkdir(parents=True)
+    (sets / "train.txt").write_text("bear\n")
+    (sets / "val.txt").write_text("classic-car\n")
+    for video in ["bear", "classic-car"]:
+        for kind in ["JPEGImages", "Annotations_unsupervised"]:
+            d = raw / "DAVIS" / kind / "480p" / video
+            d.mkdir(parents=True)
+            ext = "jpg" if kind == "JPEGImages" else "png"
+            for t in range(3):
+                img = np.full((24, 32, 3), t, np.uint8)
+                Image.fromarray(img).save(d / f"{t:05d}.{ext}")
+    (raw / "DAVIS" / "davis_semantics.json").write_text(json.dumps({
+        "bear": {"1": "bear"},
+        "classic-car": {"1": "car", "2": "person"},
+    }))
+    txt = raw / "davis_text_annotations"
+    txt.mkdir()
+    # annotation files use the misspelled name; annotator 2 is latin-1
+    (txt / "Davis17_annot1.txt").write_text(
+        'bear 1 "a brown bear"\n'
+        'clasic-car 1 "an old car"\nclasic-car 2 "a driver"\n')
+    (txt / "Davis17_annot1_full_video.txt").write_text(
+        'bear 1 "a bear walking"\n'
+        'clasic-car 1 "a car driving"\nclasic-car 2 "a person waving"\n')
+    (txt / "Davis17_annot2.txt").write_bytes(
+        'bear 1 "un ours brun"\n'
+        'clasic-car 1 "une voiture \xe9l\xe9gante"\n'
+        'clasic-car 2 "un conducteur"\n'.encode("latin-1"))
+    (txt / "Davis17_annot2_full_video.txt").write_bytes(
+        'bear 1 "un ours"\n'
+        'clasic-car 1 "une voiture"\nclasic-car 2 "une personne"\n'
+        .encode("latin-1"))
+
+    out = tmp_path / "ref-davis"
+    prepare_ref_davis(str(raw), str(out))
+
+    meta = json.loads(
+        (out / "meta_expressions" / "valid" / "meta_expressions.json")
+        .read_text())
+    car = meta["videos"]["classic-car"]  # name fixed from 'clasic-car'
+    assert car["frames"] == ["00000", "00001", "00002"]
+    # object 1's four variants first, then object 2's
+    assert [car["expressions"][str(i)]["exp"] for i in range(8)] == [
+        "an old car", "a car driving", "une voiture \xe9l\xe9gante",
+        "une voiture", "a driver", "a person waving", "un conducteur",
+        "une personne"]
+    assert [car["expressions"][str(i)]["obj_id"] for i in range(8)] == \
+        ["1"] * 4 + ["2"] * 4
+    vmeta = json.loads((out / "valid" / "meta.json").read_text())
+    assert vmeta["videos"]["classic-car"]["objects"] == {
+        "1": {"category": "car"}, "2": {"category": "person"}}
+    # originals untouched (reference mv's them away)
+    assert (raw / "DAVIS" / "JPEGImages" / "480p" / "bear" / "00000.jpg").exists()
+
+    # the converted tree is directly consumable by the dataset
+    ds = ReferDAVISDataset(
+        "valid", str(out),
+        transforms_kwargs=dict(eval_short_size=24, eval_max_size=32))
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["frames"].shape == (3, 24, 32, 3)
+    assert s["text"] == "an old car"

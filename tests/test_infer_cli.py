@@ -61,7 +61,8 @@ def test_infer_refytb_cli_end_to_end(ytvos_valid_root, tmp_path, monkeypatch):
         check_dataset_counts=False,
         output_dir=str(out_dir),
     )
-    monkeypatch.setattr(sys, "argv", ["infer_refytb", "-c", cfg, "-rm", "infer"])
+    monkeypatch.setattr(sys, "argv", ["infer_refytb", "-c", cfg, "-rm", "infer",
+                                      "--visualize"])
     infer_refytb.main()
 
     z = out_dir / "submission.zip"
@@ -73,6 +74,14 @@ def test_infer_refytb_cli_end_to_end(ytvos_valid_root, tmp_path, monkeypatch):
     # masks are written at the ORIGINAL frame size
     png = out_dir / "Annotations" / "vidA" / "0" / "00000.png"
     assert Image.open(png).size == (64, 48)
+    # --visualize writes RGB box+mask overlays on the original frames
+    # (reference infer_refytb.py:240-266, {split}_images tree)
+    vis = sorted((out_dir / "valid_images").rglob("*.png"))
+    assert [str(p.relative_to(out_dir)) for p in vis] == sorted(
+        f"valid_images/{vid}/0/{i:05d}.png"
+        for vid in ("vidA", "vidB") for i in range(4))
+    ov = Image.open(vis[0])
+    assert ov.size == (64, 48) and ov.mode == "RGB"
 
 
 def test_predict_cli_end_to_end(tmp_path, monkeypatch):

@@ -63,7 +63,7 @@ def test_whole_video_single_forward_fidelity(engine):
     run = whole._get_program()
     px = frames[:, None]
     pad = np.zeros((8, 1, 48, 64), bool)
-    scores, logits = run(whole.params, px, pad, ids, msk)
+    scores, logits, _ = run(whole.params, px, pad, ids, msk)
     q = int(np.asarray(scores).mean(0).argmax())
     from neurips2023_soc_tpu.ops import resize_bilinear
     import jax.numpy as jnp
@@ -109,3 +109,17 @@ def test_shard_videos():
     s1 = shard_videos(items, num_shards=3, shard_id=1)
     s2 = shard_videos(items, num_shards=3, shard_id=2)
     assert sorted(s0 + s1 + s2) == items
+
+
+def test_infer_video_return_boxes(engine):
+    """Chosen-trajectory boxes come back as xyxy pixels at original size
+    (reference infer_refytb.py:247 rescale_bboxes), clipped in-bounds."""
+    frames = np.random.RandomState(0).rand(3, 48, 64, 3).astype(np.float32)
+    masks, boxes = engine.infer_video(
+        frames, "a thing", original_size=(96, 128), return_boxes=True)
+    assert masks.shape == (3, 96, 128)
+    assert boxes.shape == (3, 4) and boxes.dtype == np.float32
+    assert (boxes[:, 0] <= boxes[:, 2]).all()
+    assert (boxes[:, 1] <= boxes[:, 3]).all()
+    assert boxes.min() >= 0
+    assert (boxes[:, 0::2] <= 128).all() and (boxes[:, 1::2] <= 96).all()

@@ -110,3 +110,60 @@ def test_voc_shapes(window_size):
     out_eval = voc.apply(params, fq, lq, training=False)
     assert out_eval.shape == (1, 2, 6, 32)
     assert np.all(np.isfinite(np.asarray(out_train)))
+
+
+def test_resnet50_level_shapes_and_frozen_bn():
+    """ResNet-50 backbone (reference models/backbone.py:20-101): 4 maps at
+    strides 4/8/16/32 with 256/512/1024/2048 channels; FrozenBatchNorm folds
+    running stats as constants and its params are masked out of the optimizer
+    (torch buffers never receive gradients)."""
+    from neurips2023_soc_tpu.models.resnet import FrozenBN, ResNet50Backbone
+    from neurips2023_soc_tpu.training.optim import _label_tree
+
+    m = ResNet50Backbone()
+    x = np.random.RandomState(0).randn(1, 2, 64, 96, 3).astype(np.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    outs = jax.eval_shape(lambda p, v: m.apply(p, v), params, x)
+    assert [tuple(o.shape) for o in outs] == [
+        (2, 16, 24, 256), (2, 8, 12, 512), (2, 4, 6, 1024), (2, 2, 3, 2048),
+    ]
+
+    # FrozenBN math: y = (x - mean) / sqrt(var + eps) * scale + bias
+    bn = FrozenBN(3)
+    xb = np.random.RandomState(1).randn(4, 3).astype(np.float32)
+    p = {"params": {
+        "frozen_bn_scale": np.float32([2.0, 1.0, 0.5]),
+        "frozen_bn_bias": np.float32([0.1, -0.2, 0.0]),
+        "frozen_bn_mean": np.float32([0.5, 0.0, -1.0]),
+        "frozen_bn_var": np.float32([4.0, 1.0, 0.25]),
+    }}
+    got = np.asarray(bn.apply(p, xb))
+    pp = p["params"]
+    want = (xb - pp["frozen_bn_mean"]) / np.sqrt(pp["frozen_bn_var"] + 1e-5) \
+        * pp["frozen_bn_scale"] + pp["frozen_bn_bias"]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # every frozen-BN param routes to the zero-update optimizer group
+    labels = _label_tree(params, freeze_text=False)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    bn_labels = [leaf for path, leaf in flat
+                 if any("frozen_bn" in str(k) for k in path)]
+    # stem + 16 bottlenecks x 3 + 4 downsamples, 4 stat tensors each
+    assert len(bn_labels) == 4 * (1 + 3 * (3 + 4 + 6 + 3) + 4)
+    assert set(bn_labels) == {"frozen"}
+
+
+def test_colormap_palette():
+    """79-color detectron palette (reference tools/colormap.py): BGR default,
+    RGB opt-in, scaled by `maximum`."""
+    from neurips2023_soc_tpu.utils.colormap import colormap
+
+    bgr = colormap()
+    rgb = colormap(rgb=True)
+    assert bgr.shape == rgb.shape == (79, 3)
+    np.testing.assert_array_equal(bgr, rgb[:, ::-1])
+    np.testing.assert_allclose(
+        rgb[0], np.float32([0.000, 0.447, 0.741]) * 255, rtol=1e-6)
+    unit = colormap(rgb=True, maximum=1)
+    assert unit.max() <= 1.0 and unit.min() >= 0.0
+    np.testing.assert_allclose(unit * 255, rgb, rtol=1e-6)
