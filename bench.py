@@ -67,13 +67,20 @@ def measure(backbone: str, T: int, dtype_name: str, iters: int) -> float:
     px_d = jax.device_put(pixels)
 
     float(forward(params, px_d, pad_d, ids_d, msk_d))  # compile + warm
+    # second warm call with a PERTURBED input: the first non-memoized
+    # execution after compile can be 3-5x slow on the tunneled runtime and
+    # must not land inside the timing loop
+    float(forward(params, px_d + np.float32(0.5), pad_d, ids_d, msk_d))
 
-    t0 = time.perf_counter()
+    times = []
     for i in range(iters):
         # fresh input per iteration (cheap on-device add) defeats memoization
+        t0 = time.perf_counter()
         float(forward(params, px_d + np.float32(i + 1), pad_d, ids_d, msk_d))
-    dt = time.perf_counter() - t0
-    return T * iters / dt
+        times.append(time.perf_counter() - t0)
+    # median per-iteration time: robust to transient host-load spikes
+    # (observed ±6% drift) without rewarding a single lucky iteration
+    return T / float(np.median(times))
 
 
 def main():

@@ -51,16 +51,26 @@ def main():
     step = make_train_step(model, CriterionConfig())
 
     state, m = step(state, batch, jax.random.PRNGKey(0))
-    _ = float(m["loss"])  # force completion
+    _ = float(m["loss"])  # compile + warm
+    # second PERTURBED warm step: the first non-memoized execution after
+    # compile can be 3-5x slow on the tunneled runtime; keep it out of the
+    # timing loop (same protocol as bench.py)
+    b = dict(batch)
+    b["pixels"] = batch["pixels"] + np.float32(0.5) * 1e-3
+    state, m = step(state, b, jax.random.PRNGKey(999))
+    _ = float(m["loss"])
 
     iters = int(os.environ.get("BENCH_ITERS", 5))
-    t0 = time.perf_counter()
+    times = []
     for i in range(iters):
         b = dict(batch)
         b["pixels"] = batch["pixels"] + np.float32(i + 1) * 1e-3
+        t0 = time.perf_counter()
         state, m = step(state, b, jax.random.PRNGKey(i + 1))
         _ = float(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    # median per-step time: robust to transient host-load spikes
+    dt = float(np.median(times))
     print(json.dumps({
         "metric": "ytvos_train_step_time_swin_t_8f_360x640_bf16",
         "value": round(dt, 4),

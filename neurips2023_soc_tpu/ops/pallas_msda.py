@@ -263,8 +263,7 @@ def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool,
                 # tried and showed no e2e win (59.8 fps vs 58.6-62.4 for
                 # this version across same-day runs — within the chip's
                 # ±6% load-dependent spread); the per-group scalar branch
-                # eats whatever the skipped mask/select saves. Keep the
-                # straight-line nested loop.
+                # eats whatever the skipped mask/select saves.
                 if mxu:
                     oh_full = lane_rows == lov_a[g][qb][None, :]  # (t, q)
                     zf = jnp.zeros((CR, LANES), jnp.float32)
@@ -290,20 +289,22 @@ def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool,
 
                     part = jax.lax.fori_loop(0, tyn, ybody, zf)
                 else:
-                    def ybody(ky, a, tym=tym, txm=txm, txn=txn, ntx=ntx,
+                    # Single linearized scalar loop over the tile bounding
+                    # box. Interleaved same-process A/B vs the previous
+                    # nested (ty, tx) loop pair at the flagship encoder
+                    # shape: medians 27.7/26.9 ms (linear) vs 30.1/28.0
+                    # (nested), mins equal (27.4/26.9 vs 28.2/26.6) — one
+                    # loop's control overhead instead of two, never worse.
+                    def vbody(k, a, tym=tym, txm=txm, txn=txn, ntx=ntx,
                               base=base, LO=LO, tyv=tyv, txv=txv):
-                        ty = tym + ky
+                        ty = tym + k // txn
+                        tx = txm + k % txn
+                        t = base + ty * ntx + tx
+                        cand = jnp.take_along_axis(t_ref[0, t], LO, axis=1)
+                        m = (tyv == ty) & (txv == tx)  # (1,128)
+                        return a + jnp.where(m, cand, zero)
 
-                        def xbody(kx, a):
-                            tx = txm + kx
-                            t = base + ty * ntx + tx
-                            cand = jnp.take_along_axis(t_ref[0, t], LO, axis=1)
-                            m = (tyv == ty) & (txv == tx)  # (1,128)
-                            return a + jnp.where(m, cand, zero)
-
-                        return jax.lax.fori_loop(0, txn, xbody, a)
-
-                    part = jax.lax.fori_loop(0, tyn, ybody, zero)
+                    part = jax.lax.fori_loop(0, tyn * txn, vbody, zero)
                 if packed:
                     part = pltpu.bitcast(part, jnp.bfloat16)  # (4D, 128)
                 w4 = w4_a[g][qb]  # (4,128)
