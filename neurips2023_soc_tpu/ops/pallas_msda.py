@@ -427,7 +427,7 @@ def ms_deform_attn_pallas(
 
 
 def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
-                     bf16_mm: bool = False):
+                     bf16_mm: bool = False, linear_visit: bool = False):
     """bf16_mm: run the d_table one-hot matmuls with bf16 operands (f32
     accumulate). Used when the primal value is bf16 — the cotangent products
     are bf16-precision in bf16 training anyway — for the 2x MXU rate."""
@@ -489,30 +489,40 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
                 txm = bounds_ref[0, l, p, qa, 2]
                 txn = bounds_ref[0, l, p, qa, 3]
 
-                def ybody(ky, acc, tym=tym, txm=txm, txn=txn, ntx=ntx,
-                          base=base, LO=LO, tyv=tyv, txv=txv, A=A,
-                          onehot_full=onehot_full):
-                    ty = tym + ky
+                def visit(ty, tx, acc, ntx=ntx, base=base, LO=LO, tyv=tyv,
+                          txv=txv, A=A, onehot_full=onehot_full):
+                    t = base + ty * ntx + tx
+                    m = (tyv == ty) & (txv == tx)  # (1, 128) over queries
+                    cand = jnp.take_along_axis(t_ref[0, t], LO, axis=1)
+                    acc = acc + jnp.where(m, cand, zero)
+                    # mask rows (queries) of the one-hot; go through f32
+                    # before the (128,)->(128,1) reshape — Mosaic only
+                    # supports minor-dim insertion for 32-bit types
+                    mrow = jnp.where(m, 1.0, 0.0).reshape(
+                        LANES, 1).astype(A.dtype)
+                    dt_ref[0, t] += jnp.dot(
+                        A, onehot_full * mrow,
+                        preferred_element_type=jnp.float32)
+                    return acc
 
-                    def xbody(kx, acc):
-                        tx = txm + kx
-                        t = base + ty * ntx + tx
-                        m = (tyv == ty) & (txv == tx)  # (1, 128) over queries
-                        cand = jnp.take_along_axis(t_ref[0, t], LO, axis=1)
-                        acc = acc + jnp.where(m, cand, zero)
-                        # mask rows (queries) of the one-hot; go through f32
-                        # before the (128,)->(128,1) reshape — Mosaic only
-                        # supports minor-dim insertion for 32-bit types
-                        mrow = jnp.where(m, 1.0, 0.0).reshape(
-                            LANES, 1).astype(A.dtype)
-                        dt_ref[0, t] += jnp.dot(
-                            A, onehot_full * mrow,
-                            preferred_element_type=jnp.float32)
-                        return acc
+                if linear_visit:
+                    # linearized bbox loop — WINS in the forward kernel but
+                    # LOSES here: interleaved on-chip A/B at the flagship
+                    # encoder shape (bf16) measured nested 297-299 ms vs
+                    # linear 309-313 across two rounds; the per-visit MXU
+                    # dot pipelines better under the nested loop than with
+                    # the divmod index recovery. Kept for A/B runs only.
+                    def vbody(k, acc, tym=tym, txm=txm, txn=txn):
+                        return visit(tym + k // txn, txm + k % txn, acc)
 
-                    return jax.lax.fori_loop(0, txn, xbody, acc)
+                    part = jax.lax.fori_loop(0, tyn * txn, vbody, zero)
+                else:
+                    def ybody(ky, acc, tym=tym, txm=txm, txn=txn):
+                        return jax.lax.fori_loop(
+                            0, txn,
+                            lambda kx, a: visit(tym + ky, txm + kx, a), acc)
 
-                part = jax.lax.fori_loop(0, tyn, ybody, zero)
+                    part = jax.lax.fori_loop(0, tyn, ybody, zero)
                 v4 = part.reshape(4, D, LANES)
                 s4 = (v4 * go_b[None]).sum(1)  # (4, 128): v_slot . go
                 datt_ref[0, l, p, qb] = (w4 * s4).sum(0)
@@ -554,10 +564,15 @@ def ms_deform_attn_pallas_bwd(
     interpret: bool | None = None,
     qpb_max: int = 8,
     permute: bool | None = None,
+    linear_visit: bool = False,
 ):
     """Pallas backward: (d_value, d_sampling_locations, d_attention_weights)
     for cotangent g of shape (B, Lq, M*D). Semantics match XLA autodiff of
-    `ms_deform_attn_xla` exactly (same anchor/slot-weight decisions)."""
+    `ms_deform_attn_xla` exactly (same anchor/slot-weight decisions).
+
+    linear_visit: linearized fori_loop over each tile bbox instead of the
+    nested (row, col) pair — wins in the FORWARD kernel but measured ~4%
+    slower here (see kernel comment); nested is the default."""
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     if interpret is None:
@@ -576,7 +591,8 @@ def ms_deform_attn_pallas_bwd(
         g_p = jnp.take(g, src, axis=1) * first[:, None]
         d_val, d_loc_p, d_att_p = ms_deform_attn_pallas_bwd(
             value, spatial_shapes, loc_p, att_p, g_p,
-            interpret=interpret, qpb_max=qpb_max, permute=False)
+            interpret=interpret, qpb_max=qpb_max, permute=False,
+            linear_visit=linear_visit)
         d_loc = jnp.take(d_loc_p, inv, axis=1)
         d_att = jnp.take(d_att_p, inv, axis=1)
         return d_val, d_loc, d_att
@@ -603,7 +619,8 @@ def ms_deform_attn_pallas_bwd(
 
     kernel = _make_bwd_kernel(
         tuple(geoms), L, P, D, qpb,
-        bf16_mm=value.dtype == jnp.bfloat16 and not interpret)
+        bf16_mm=value.dtype == jnp.bfloat16 and not interpret,
+        linear_visit=linear_visit)
     dtab, dlx, dly, datt = pl.pallas_call(
         kernel,
         out_shape=(
