@@ -14,6 +14,7 @@ from ..config import add_config_args, config_from_args
 from ..data.davis import ReferDAVISDataset
 from ..inference import (
     InferenceEngine,
+    group_davis_annotator_order,
     merge_davis_annotator,
     save_davis_annotator_masks,
     shard_videos,
@@ -68,6 +69,13 @@ def main():
     for video_id, idxs in by_video.items():
         idxs = sorted(idxs, key=lambda i: int(dataset.samples_list[i][2]["exp_id"]))
         num_obj = len(idxs) // 4
+        # The converted meta_expressions layout is OBJECT-major: exp id
+        # obj*4 + anno is object `obj` under annotation variant `anno`
+        # (reference convert_davis_to_ytbs.py:165-177; consumed as
+        # `i = obj_id * 4 + anno_id` at reference infer_davis.py:199).
+        # Reorder the stream to annotator-major so the sequential
+        # consumption below groups each annotator's objects together.
+        idxs = group_davis_annotator_order(idxs)
         # decode the next expression's frames while the chip runs this one
         samples = prefetch((dataset[i] for i in idxs), buffer_size=2)
         for anno_id in range(4):

@@ -197,6 +197,22 @@ def zip_submission(out_dir: str, zip_name: str = "submission.zip"):
     return str(zpath)
 
 
+def group_davis_annotator_order(items: List) -> List:
+    """Reorder a video's expressions (sorted by exp id, OBJECT-major:
+    exp = obj*4 + anno per the converted meta_expressions layout,
+    reference convert_davis_to_ytbs.py:165-177) into ANNOTATOR-major
+    order [a0o0, a0o1, ..., a1o0, ...] so a sequential consumer groups
+    each annotation variant's objects together — the stream analog of the
+    reference's `i = obj_id * 4 + anno_id` (infer_davis.py:199)."""
+    num_obj, rem = divmod(len(items), 4)
+    if rem:
+        raise ValueError(
+            f"expected 4 annotation variants per object, got {len(items)} "
+            "expressions")
+    return [items[obj * 4 + anno]
+            for anno in range(4) for obj in range(num_obj)]
+
+
 def merge_davis_annotator(prob_masks: List[np.ndarray]) -> np.ndarray:
     """Merge per-object probability masks into index masks with a 0.1
     background channel (reference infer_davis.py:263-275).

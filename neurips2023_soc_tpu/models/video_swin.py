@@ -56,9 +56,9 @@ def _attn_mask(Dp: int, Hp: int, Wp: int, window: Window, shift: Window):
     if nW * N * N * 4 <= 8 << 20:  # 8 MB literal budget
         diff = ids_np[:, None, :] != ids_np[:, :, None]
         return jnp.asarray(np.where(diff, -100.0, 0.0).astype(np.float32))
-    ids = jnp.asarray(ids_np)
-    neq = ids[:, None, :] != ids[:, :, None]
-    return jnp.where(neq, -100.0, 0.0).astype(jnp.float32)
+    from ..ops.window_attention import mask_from_ids
+
+    return mask_from_ids(jnp.asarray(ids_np))
 
 
 @functools.lru_cache(maxsize=64)

@@ -120,7 +120,7 @@ def window_attention_pallas(
     B_, H, N, Dh = q.shape
     bias = bias.astype(jnp.float32)
 
-    Wb = max(w for w in (1, 2, 4, 8) if w <= B_ or w == 1)
+    Wb = max(w for w in (1, 2, 4, 8) if w <= B_)
     pad = (-B_) % Wb
     B_p = B_ + pad
     if pad:

@@ -84,6 +84,70 @@ def test_infer_refytb_cli_end_to_end(ytvos_valid_root, tmp_path, monkeypatch):
     assert ov.size == (64, 48) and ov.mode == "RGB"
 
 
+def test_infer_davis_cli_annotator_grouping(tmp_path, monkeypatch):
+    """infer_davis must consume expressions in annotator-major order
+    (exp = obj*4 + anno is OBJECT-major in the converted meta layout;
+    reference infer_davis.py:199 indexes i = obj_id*4 + anno_id) and merge
+    each annotation variant's objects into one index mask. Regression for
+    the sequential consumption that handed annotator 0 all four variants
+    of object 0 on multi-object videos."""
+    from neurips2023_soc_tpu.cli import infer_davis
+    from neurips2023_soc_tpu.inference import InferenceEngine
+
+    root = tmp_path / "davis"
+    frames = [f"{i:05d}" for i in range(3)]
+    d = root / "valid" / "JPEGImages" / "vid"
+    d.mkdir(parents=True)
+    for t, fi in enumerate(frames):
+        img = (np.random.RandomState(t).rand(40, 56, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(d / f"{fi}.jpg")
+    # 2 objects x 4 annotation variants, object-major exp ids
+    meta = {"videos": {"vid": {
+        "frames": frames,
+        "expressions": {str(i): {"exp": f"expression {i}"} for i in range(8)},
+    }}}
+    (root / "meta_expressions" / "valid").mkdir(parents=True)
+    (root / "meta_expressions" / "valid" / "meta_expressions.json").write_text(
+        json.dumps(meta))
+
+    seen = []
+
+    def fake_infer_video(self, frames_arr, text, original_size=None,
+                         return_probs=False, **kw):
+        seen.append(text)
+        exp_i = int(text.split()[-1])
+        T = len(frames_arr)
+        h, w = original_size
+        probs = np.zeros((T, h, w), np.float32)
+        if exp_i // 4 == 0:  # object 0 claims the left half
+            probs[:, :, : w // 2] = 0.9
+        else:  # object 1 claims the right half
+            probs[:, :, w // 2 :] = 0.9
+        return probs
+
+    monkeypatch.setattr(InferenceEngine, "infer_video", fake_infer_video)
+    out_dir = tmp_path / "out"
+    cfg = _tiny_cfg(
+        tmp_path, dataset_name="ref_davis", img_folder=str(root),
+        eval_short_size=40, eval_max_size=56, time_buckets=[4],
+        text_bucket=12, output_dir=str(out_dir),
+    )
+    monkeypatch.setattr(sys, "argv", ["infer_davis", "-c", cfg, "-rm", "infer"])
+    infer_davis.main()
+
+    # annotator-major consumption: anno 0 saw objects 0 and 1, etc.
+    assert seen == [f"expression {i}"
+                    for i in (0, 4, 1, 5, 2, 6, 3, 7)]
+    for anno in range(4):
+        pngs = sorted((out_dir / f"anno_{anno}" / "vid").glob("*.png"))
+        assert [p.name for p in pngs] == [f"{f}.png" for f in frames]
+        m = np.asarray(Image.open(pngs[0]))
+        # object 1 (label 1) left half, object 2 (label 2) right half
+        assert set(np.unique(m)) == {1, 2}
+        assert (m[:, : m.shape[1] // 2] == 1).all()
+        assert (m[:, m.shape[1] // 2 :] == 2).all()
+
+
 def test_predict_cli_end_to_end(tmp_path, monkeypatch):
     import cv2
 

@@ -103,6 +103,23 @@ def test_ytvos_submission_zip(tmp_path):
     assert "Annotations/vid1/0/00000.png" in names
 
 
+def test_group_davis_annotator_order():
+    """The converted DAVIS exp-id layout is object-major (exp = obj*4 +
+    anno, reference convert_davis_to_ytbs.py:165-177); the reference's
+    annotator loop consumes i = obj_id*4 + anno_id (infer_davis.py:199).
+    The stream reorder must therefore be annotator-major."""
+    from neurips2023_soc_tpu.inference import group_davis_annotator_order
+
+    # 2 objects x 4 annotation variants
+    assert group_davis_annotator_order(list(range(8))) == [
+        0, 4, 1, 5, 2, 6, 3, 7]
+    # 1 object: identity (the regime the old sequential consumption
+    # happened to get right)
+    assert group_davis_annotator_order([10, 11, 12, 13]) == [10, 11, 12, 13]
+    with pytest.raises(ValueError):
+        group_davis_annotator_order(list(range(6)))
+
+
 def test_shard_videos():
     items = list(range(10))
     s0 = shard_videos(items, num_shards=3, shard_id=0)

@@ -77,7 +77,9 @@ def test_dispatch_falls_back_to_xla_with_mask_only():
     q, k, v, bias, ids = _inputs(seed=3)
     mask = np.asarray(mask_from_ids(jnp.asarray(ids)))
     want = np.asarray(window_attention_xla(q, k, v, bias, mask))
+    # ids=None: the kernel cannot run (it rebuilds the mask from ids), so
+    # impl='pallas' must route through the XLA fallback branch
     got = np.asarray(
-        window_attention(q, k, v, bias, mask=mask, ids=jnp.asarray(ids),
+        window_attention(q, k, v, bias, mask=mask, ids=None,
                          impl="pallas", interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
