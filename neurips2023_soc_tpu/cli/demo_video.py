@@ -37,6 +37,9 @@ def main():
     parser.add_argument("--output_dir", default="outputs/demo")
     parser.add_argument("--frame_stride", type=int, default=5)
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--synthetic_frames", type=int, default=8)
+    parser.add_argument("--synthetic_size", type=int, nargs=2,
+                        default=(160, 288), metavar=("H", "W"))
     args = parser.parse_args()
     config = load_config(args.config_path, overrides={
         "checkpoint_path": args.checkpoint_path,
@@ -47,8 +50,9 @@ def main():
     if args.synthetic:
         from ..data.synthetic import SyntheticRVOSDataset
 
-        s = SyntheticRVOSDataset(num_samples=1, num_frames=8,
-                                 frame_size=(160, 288))[0]
+        s = SyntheticRVOSDataset(num_samples=1,
+                                 num_frames=args.synthetic_frames,
+                                 frame_size=tuple(args.synthetic_size))[0]
         frames = s["frames"]
         text = s["text"]
         raw = ((frames * np.array([0.229, 0.224, 0.225]) +

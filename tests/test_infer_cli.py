@@ -84,6 +84,25 @@ def test_infer_refytb_cli_end_to_end(ytvos_valid_root, tmp_path, monkeypatch):
     assert ov.size == (64, 48) and ov.mode == "RGB"
 
 
+def test_demo_video_cli_synthetic(tmp_path, monkeypatch):
+    """demo_video --synthetic end-to-end: generated clip -> one whole-clip
+    forward -> chosen-trajectory overlays (reference demo_video.py:39-129)."""
+    from neurips2023_soc_tpu.cli import demo_video
+
+    cfg = _tiny_cfg(tmp_path, time_buckets=[4], text_bucket=12,
+                    eval_size_buckets=[[48, 64]])
+    out_dir = tmp_path / "demo"
+    monkeypatch.setattr(sys, "argv", [
+        "demo_video", "-c", cfg, "--synthetic",
+        "--synthetic_frames", "4", "--synthetic_size", "48", "64",
+        "--output_dir", str(out_dir)])
+    demo_video.main()
+    pngs = sorted(out_dir.glob("*.png"))
+    assert [p.name for p in pngs] == [f"{t:05d}.png" for t in range(4)]
+    im = Image.open(pngs[0])
+    assert im.size == (64, 48) and im.mode == "RGB"
+
+
 def test_infer_davis_cli_annotator_grouping(tmp_path, monkeypatch):
     """infer_davis must consume expressions in annotator-major order
     (exp = obj*4 + anno is OBJECT-major in the converted meta layout;
