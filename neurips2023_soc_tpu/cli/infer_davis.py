@@ -66,31 +66,35 @@ def main():
     from ..utils.prefetch import prefetch
 
     t0 = time.time()
+    # The converted meta_expressions layout is OBJECT-major: exp id
+    # obj*4 + anno is object `obj` under annotation variant `anno`
+    # (reference convert_davis_to_ytbs.py:165-177; consumed as
+    # `i = obj_id * 4 + anno_id` at reference infer_davis.py:199).
+    # group_davis_annotator_order reorders to annotator-major so slicing
+    # num_obj-runs below groups each annotator's objects together.
+    videos = []
     for video_id, idxs in by_video.items():
         idxs = sorted(idxs, key=lambda i: int(dataset.samples_list[i][2]["exp_id"]))
-        num_obj = len(idxs) // 4
-        # The converted meta_expressions layout is OBJECT-major: exp id
-        # obj*4 + anno is object `obj` under annotation variant `anno`
-        # (reference convert_davis_to_ytbs.py:165-177; consumed as
-        # `i = obj_id * 4 + anno_id` at reference infer_davis.py:199).
-        # Reorder the stream to annotator-major so the sequential
-        # consumption below groups each annotator's objects together.
-        idxs = group_davis_annotator_order(idxs)
-        # decode the next expression's frames while the chip runs this one
-        samples = prefetch((dataset[i] for i in idxs), buffer_size=2)
+        videos.append((video_id, group_davis_annotator_order(idxs)))
+    # decode the next video's frames while the chip runs this one; frames
+    # decode ONCE per video — all expressions share them, and
+    # infer_video_multi runs the backbone once per chunk for all of them
+    samples = prefetch((dataset[order[0]] for _, order in videos),
+                       buffer_size=2)
+    for video_id, order in videos:
+        num_obj = len(order) // 4
+        s = next(samples)
+        meta = s["video_metadata"]
+        frame_names = meta["frame_indices"]
+        texts = [dataset.get_text(i) for i in order]
+        all_probs = engine.infer_video_multi(
+            s["frames"], texts,
+            original_size=meta["original_frame_size"],
+            return_probs=True,
+            trajectory="chunk",  # reference infer_davis.py:242-247
+        )
         for anno_id in range(4):
-            prob_masks, frame_names = [], None
-            for obj in range(num_obj):
-                s = next(samples)
-                meta = s["video_metadata"]
-                frame_names = meta["frame_indices"]
-                probs = engine.infer_video(
-                    s["frames"], s["text"],
-                    original_size=meta["original_frame_size"],
-                    return_probs=True,
-                    trajectory="chunk",  # reference infer_davis.py:242-247
-                )
-                prob_masks.append(probs)
+            prob_masks = all_probs[anno_id * num_obj : (anno_id + 1) * num_obj]
             merged = merge_davis_annotator(prob_masks)
             save_davis_annotator_masks(
                 merged, str(out_root / f"anno_{anno_id}" / video_id), frame_names

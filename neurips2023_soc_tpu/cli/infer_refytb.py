@@ -75,19 +75,14 @@ def main():
     )
     out_dir = config.get("output_dir") or "outputs/ytvos_valid"
     t0 = time.time()
-    # per-host video sharding (replaces the reference's mp.Process split)
+    # per-host VIDEO-group sharding (replaces the reference's mp.Process
+    # split); every group's expressions stay on one host so the shared
+    # backbone stage runs once per group
+    groups = list(dataset.video_groups().values())
     import jax
 
     if jax.process_count() > 1:
-        class _Shard:
-            def __init__(self, ds):
-                self.idx = shard_videos(list(range(len(ds))))
-                self.ds = ds
-            def __len__(self):
-                return len(self.idx)
-            def __getitem__(self, i):
-                return self.ds[self.idx[i]]
-        dataset = _Shard(dataset)
+        groups = shard_videos(groups)
     vis_kwargs = {}
     if config.get("visualize"):
         from os import path as osp
@@ -99,7 +94,8 @@ def main():
                 config.img_folder, "valid", "JPEGImages", vid, frame + ".jpg"
             ),
         )
-    result = evaluate_refer_youtube_vos(engine, dataset, out_dir, **vis_kwargs)
+    result = evaluate_refer_youtube_vos(engine, dataset, out_dir,
+                                        groups=groups, **vis_kwargs)
     print(f"done in {time.time() - t0:.1f}s -> {result}")
 
 

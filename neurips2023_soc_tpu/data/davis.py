@@ -41,6 +41,13 @@ class ReferDAVISDataset:
     def __len__(self):
         return len(self.samples_list)
 
+    def get_text(self, idx: int) -> str:
+        """The expression text exactly as __getitem__ would yield it (test
+        transforms never alter text), without decoding the frames — lets the
+        inference driver fetch all of a video's expressions while decoding
+        its frames only once."""
+        return " ".join(self.samples_list[idx][2]["exp"].lower().split())
+
     def __getitem__(self, idx: int) -> Dict:
         vid_id, frame_indices, exp = self.samples_list[idx]
         text = " ".join(exp["exp"].lower().split())

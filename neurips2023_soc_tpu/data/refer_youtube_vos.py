@@ -151,6 +151,25 @@ class ReferYouTubeVOSDataset:
     def __len__(self):
         return len(self.samples_list)
 
+    # ------------- multi-expression inference accessors -------------
+    def get_text(self, idx: int) -> str:
+        """The expression text exactly as __getitem__ yields it (test
+        transforms never alter text), without decoding frames."""
+        return " ".join(self.samples_list[idx][2]["exp"].lower().split())
+
+    def exp_id(self, idx: int) -> str:
+        return self.samples_list[idx][2].get("exp_id")
+
+    def video_groups(self) -> Dict[str, List[int]]:
+        """Valid-split sample indices grouped by (video, identical frame
+        window) — every group shares decoded frames, so inference can run
+        the text-independent backbone once per group
+        (InferenceEngine.infer_video_multi)."""
+        groups: Dict = {}
+        for i, (vid_id, frame_indices, _) in enumerate(self.samples_list):
+            groups.setdefault((vid_id, tuple(frame_indices)), []).append(i)
+        return groups
+
     # ---------------- loading ----------------
     def _category_of(self, vid_id: str, obj_id: str) -> int:
         if self._meta_by_video is None:

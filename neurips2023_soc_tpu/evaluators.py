@@ -301,39 +301,61 @@ def evaluate_refer_youtube_vos(
     make_zip: bool = True,
     visualize_dir: str = None,
     frame_path_fn=None,
+    groups=None,
 ) -> Dict[str, str]:
     """Run whole-video inference over the valid split and write the
     competition submission (reference trainer.py:315-354).
+
+    Expressions of the same video share decoded frames AND the
+    text-independent backbone stage: samples are grouped by video (via
+    dataset.video_groups(), or the `groups` index lists a multi-host caller
+    sharded), each group decodes once and runs InferenceEngine.
+    infer_video_multi — the backbone (~55% of the forward) executes once per
+    group instead of once per expression.
 
     With visualize_dir + frame_path_fn(video_id, frame_name) -> jpg path,
     also writes box+mask overlays on the ORIGINAL frames, one palette color
     per expression (reference infer_refytb.py --visualize, 240-266).
 
-    Multi-host: callers shard the dataset per process (shard_videos); the
+    Multi-host: callers shard the groups per process (shard_videos); the
     zip is created by rank 0 only, AFTER a barrier, so it contains every
     host's predictions — output_dir must be a shared filesystem."""
     from .inference import save_ytvos_predictions, zip_submission
     from .parallel.multihost import barrier, is_main_process
     from .utils.prefetch import prefetch
 
+    if groups is None:
+        if hasattr(dataset, "video_groups"):
+            groups = list(dataset.video_groups().values())
+        else:
+            groups = [[i] for i in range(len(dataset))]
+    can_batch = hasattr(dataset, "get_text") and hasattr(dataset, "exp_id")
+
     preds = []
     # decode the next video on the host while the chip runs this one
-    samples = prefetch((dataset[i] for i in range(len(dataset))), buffer_size=2)
-    for s in samples:
-        meta = s["video_metadata"]
-        if visualize_dir is not None:
-            masks, boxes = engine.infer_video(
-                s["frames"], s["text"],
-                original_size=meta["original_frame_size"], return_boxes=True,
-            )
-            _save_ytvos_overlays(meta, masks, boxes, visualize_dir,
-                                 frame_path_fn)
-        else:
-            masks = engine.infer_video(
-                s["frames"], s["text"],
-                original_size=meta["original_frame_size"],
-            )
-        preds.append({**meta, "pred_masks": masks})
+    samples = prefetch((dataset[g[0]] for g in groups), buffer_size=2)
+    for g in groups:
+        s = next(samples)
+        meta0 = s["video_metadata"]
+        if can_batch:
+            texts = [dataset.get_text(i) for i in g]
+            metas = [{**meta0, "exp_id": dataset.exp_id(i)} for i in g]
+        else:  # single-sample group (datasets without the accessors)
+            texts = [s["text"]]
+            metas = [meta0]
+        results = engine.infer_video_multi(
+            s["frames"], texts,
+            original_size=meta0["original_frame_size"],
+            return_boxes=visualize_dir is not None,
+        )
+        for meta, r in zip(metas, results):
+            if visualize_dir is not None:
+                masks, boxes = r
+                _save_ytvos_overlays(meta, masks, boxes, visualize_dir,
+                                     frame_path_fn)
+            else:
+                masks = r
+            preds.append({**meta, "pred_masks": masks})
     save_ytvos_predictions(preds, output_dir)
     out = {"predictions_dir": output_dir}
     if make_zip:

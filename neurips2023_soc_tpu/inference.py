@@ -74,6 +74,35 @@ class InferenceEngine:
             self._jitted["clip"] = self._clip_program()
         return self._jitted["clip"]
 
+    def _get_split_programs(self):
+        """Backbone / head stage pair for multi-expression inference: the
+        backbone (text-independent, ~55% of the forward) runs once per video
+        chunk; the head re-runs per expression on the SAME device-resident
+        features. model.head(model.backbone_features(x)) == model(x) by
+        construction (models/soc.py)."""
+        if "backbone" not in self._jitted:
+            model = self.model
+
+            @jax.jit
+            def run_backbone(params, pixels, pad_mask):
+                return model.apply(params, pixels, pad_mask,
+                                   method="backbone_features")
+
+            @jax.jit
+            def run_head(params, features, pad_mask, ids, msk):
+                out = model.apply(params, features, pad_mask, ids, msk,
+                                  method="head")
+                pred_cls = out["pred_cls"][-1]
+                pred_masks = out["pred_masks"][-1]
+                pred_boxes = out["pred_boxes"][-1]
+                scores = jax.nn.sigmoid(pred_cls.astype(jnp.float32))[:, 0]
+                return scores.max(-1), pred_masks[:, 0].astype(jnp.bfloat16), \
+                    pred_boxes[:, 0]
+
+            self._jitted["backbone"] = run_backbone
+            self._jitted["head"] = run_head
+        return self._jitted["backbone"], self._jitted["head"]
+
     # ---------------- per-video inference ----------------
     def infer_video(
         self, frames: np.ndarray, text: str,
@@ -93,13 +122,37 @@ class InferenceEngine:
         With return_boxes, returns (masks_or_probs, boxes) where boxes is
         (T, 4) xyxy pixels at original size for the chosen trajectory
         (reference infer_refytb.py:247 rescale_bboxes)."""
+        return self.infer_video_multi(
+            frames, [text], original_size=original_size,
+            return_probs=return_probs, trajectory=trajectory,
+            return_boxes=return_boxes,
+        )[0]
+
+    def infer_video_multi(
+        self, frames: np.ndarray, texts: Sequence[str],
+        original_size: Optional[Tuple[int, int]] = None,
+        return_probs: bool = False,
+        trajectory: str = "video",
+        return_boxes: bool = False,
+    ) -> List:
+        """Run EVERY expression of one video over shared frames. With more
+        than one expression the text-independent backbone stage (~55% of the
+        forward) executes once per chunk and its device-resident features are
+        reused by the per-expression head — the throughput story the
+        reference cannot have (it re-runs the full model per expression,
+        infer_refytb.py:206-214, infer_davis.py:206-256). Returns a list
+        parallel to `texts` of infer_video-shaped results."""
         T_total, fh, fw, _ = frames.shape
         H, W = pick_size_bucket(fh, fw, self.size_buckets)
-        ids, msk = self.tokenizer([text])
-        run = self._get_program()
+        toks = [self.tokenizer([t]) for t in texts]
+        K = len(toks)
+        if K == 1:
+            run = self._get_program()
+        else:
+            run_bb, run_head = self._get_split_programs()
 
         chunk = max(self.time_buckets)
-        all_scores, all_logits, all_boxes = [], [], []
+        per = [([], [], []) for _ in toks]  # (scores, logits, boxes) per text
         for start in range(0, T_total, chunk):
             clip = frames[start : start + chunk]
             t = clip.shape[0]
@@ -110,11 +163,27 @@ class InferenceEngine:
             if t < T:  # repeat last frame into padding (content only)
                 pixels[t:, 0, :fh, :fw] = clip[-1]
             pad[:, :, :fh, :fw] = False
-            scores, logits, boxes = run(self.params, pixels, pad, ids, msk)
-            all_scores.append(np.asarray(scores[:t]))  # (t, Nq)
-            all_logits.append(np.asarray(logits[:t]).astype(np.float32))
-            all_boxes.append(np.asarray(boxes[:t]).astype(np.float32))
+            if K == 1:
+                outs = [run(self.params, pixels, pad, *toks[0])]
+            else:
+                feats = run_bb(self.params, pixels, pad)
+                outs = [run_head(self.params, feats, pad, ids, msk)
+                        for ids, msk in toks]
+            for (sc, lg, bx), (ascores, alogits, aboxes) in zip(outs, per):
+                ascores.append(np.asarray(sc[:t]))  # (t, Nq)
+                alogits.append(np.asarray(lg[:t]).astype(np.float32))
+                aboxes.append(np.asarray(bx[:t]).astype(np.float32))
 
+        return [
+            self._finish_video(
+                all_scores, all_logits, all_boxes, fh, fw, H, W,
+                original_size, return_probs, trajectory, return_boxes)
+            for all_scores, all_logits, all_boxes in per
+        ]
+
+    def _finish_video(self, all_scores, all_logits, all_boxes, fh, fw, H, W,
+                      original_size, return_probs, trajectory, return_boxes):
+        """Host tail: trajectory selection, upsample, threshold, box rescale."""
         scores = np.concatenate(all_scores, 0)  # (T_total, Nq)
         outs, probs = [], []
         if trajectory == "video":

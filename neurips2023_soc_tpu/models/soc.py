@@ -213,9 +213,25 @@ class SOC(nn.Module):
         txt_pad_mask = text_mask == 0  # True on padding
         return txt_memory, sentence, txt_pad_mask
 
-    def __call__(
+    def backbone_features(
         self,
         pixels: jnp.ndarray,  # (T, B, H, W, 3)
+        pad_mask: jnp.ndarray,  # (T, B, H, W) True=pad (unused; kept so the
+        #                         stage signature matches the clip program)
+        training: bool = False,
+    ):
+        """The text-INDEPENDENT stage: backbone over the whole clip, b-major
+        (B*T, Hi, Wi, Ci) per-level features. Split from `head` so
+        multi-expression inference runs it once per video and reuses the
+        features for every expression (reference infer_refytb.py/infer_davis.py
+        re-run the full model per expression; the backbone is ~55% of the
+        forward, see BENCH_NOTES.md)."""
+        video = jnp.transpose(pixels, (1, 0, 2, 3, 4)).astype(self.dtype)
+        return self.backbone(video, deterministic=not training)
+
+    def head(
+        self,
+        features,  # tuple of (B*T, Hi, Wi, Ci) from backbone_features
         pad_mask: jnp.ndarray,  # (T, B, H, W) True=pad
         text_ids: jnp.ndarray,  # (B, S)
         text_mask: jnp.ndarray,  # (B, S) 1=real
@@ -223,8 +239,10 @@ class SOC(nn.Module):
         valid_indices: Optional[jnp.ndarray] = None,  # (B,) frame idx per sample
         training: bool = False,
     ) -> Dict[str, jnp.ndarray]:
+        """The text-DEPENDENT stage: text encoding, bidirectional fusion,
+        deformable transformer, VOC, heads, dynamic masks."""
         deterministic = not training
-        Tfull, B, H, W, _ = pixels.shape
+        Tfull, B, H, W = pad_mask.shape
         C = self.d_model
 
         text_word_features, text_sentence_feature, txt_pad_mask = self.encode_text(
@@ -232,9 +250,6 @@ class SOC(nn.Module):
         )
         text_pos = position_embedding_sine_1d(txt_pad_mask, C).astype(self.dtype)
 
-        # backbone over the whole clip; outputs b-major (B*T, Hi, Wi, Ci)
-        video = jnp.transpose(pixels, (1, 0, 2, 3, 4)).astype(self.dtype)
-        features = self.backbone(video, deterministic=deterministic)
         # per-level pad masks from the input mask
         pad_bt = jnp.transpose(pad_mask, (1, 0, 2, 3)).reshape(B * Tfull, H, W)
         feat_masks = [
@@ -406,3 +421,20 @@ class SOC(nn.Module):
                 "pred_boxes_unact": enc_outputs[1],
             }
         return out
+
+    def __call__(
+        self,
+        pixels: jnp.ndarray,  # (T, B, H, W, 3)
+        pad_mask: jnp.ndarray,  # (T, B, H, W) True=pad
+        text_ids: jnp.ndarray,  # (B, S)
+        text_mask: jnp.ndarray,  # (B, S) 1=real
+        sample_sizes: Optional[jnp.ndarray] = None,  # (B, 2) resized (h, w)
+        valid_indices: Optional[jnp.ndarray] = None,  # (B,) frame idx per sample
+        training: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        features = self.backbone_features(pixels, pad_mask, training=training)
+        return self.head(
+            features, pad_mask, text_ids, text_mask,
+            sample_sizes=sample_sizes, valid_indices=valid_indices,
+            training=training,
+        )

@@ -23,9 +23,13 @@ def ytvos_valid_root(tmp_path_factory):
             img = (np.random.RandomState(t).rand(48, 64, 3) * 255).astype(np.uint8)
             Image.fromarray(img).save(d / f"{fi}.jpg")
     meta = {"videos": {
-        vid: {"frames": frames,
-              "expressions": {"0": {"exp": "the moving thing"}}}
-        for vid in ["vidA", "vidB"]
+        # vidA has TWO expressions -> exercises the grouped multi-expression
+        # path (shared frames + shared backbone stage)
+        "vidA": {"frames": frames,
+                 "expressions": {"0": {"exp": "the moving thing"},
+                                 "1": {"exp": "the other thing"}}},
+        "vidB": {"frames": frames,
+                 "expressions": {"0": {"exp": "the moving thing"}}},
     }}
     (root / "meta_expressions" / "valid").mkdir(parents=True)
     (root / "meta_expressions" / "valid" / "meta_expressions.json").write_text(
@@ -67,10 +71,11 @@ def test_infer_refytb_cli_end_to_end(ytvos_valid_root, tmp_path, monkeypatch):
 
     z = out_dir / "submission.zip"
     assert z.exists()
+    expected = [("vidA", "0"), ("vidA", "1"), ("vidB", "0")]
     names = sorted(zipfile.ZipFile(z).namelist())
     assert names == sorted(
-        f"Annotations/{vid}/0/{i:05d}.png"
-        for vid in ("vidA", "vidB") for i in range(4))
+        f"Annotations/{vid}/{exp}/{i:05d}.png"
+        for vid, exp in expected for i in range(4))
     # masks are written at the ORIGINAL frame size
     png = out_dir / "Annotations" / "vidA" / "0" / "00000.png"
     assert Image.open(png).size == (64, 48)
@@ -78,8 +83,8 @@ def test_infer_refytb_cli_end_to_end(ytvos_valid_root, tmp_path, monkeypatch):
     # (reference infer_refytb.py:240-266, {split}_images tree)
     vis = sorted((out_dir / "valid_images").rglob("*.png"))
     assert [str(p.relative_to(out_dir)) for p in vis] == sorted(
-        f"valid_images/{vid}/0/{i:05d}.png"
-        for vid in ("vidA", "vidB") for i in range(4))
+        f"valid_images/{vid}/{exp}/{i:05d}.png"
+        for vid, exp in expected for i in range(4))
     ov = Image.open(vis[0])
     assert ov.size == (64, 48) and ov.mode == "RGB"
 
@@ -131,20 +136,24 @@ def test_infer_davis_cli_annotator_grouping(tmp_path, monkeypatch):
 
     seen = []
 
-    def fake_infer_video(self, frames_arr, text, original_size=None,
-                         return_probs=False, **kw):
-        seen.append(text)
-        exp_i = int(text.split()[-1])
+    def fake_infer_video_multi(self, frames_arr, texts, original_size=None,
+                               return_probs=False, **kw):
+        seen.extend(texts)
         T = len(frames_arr)
         h, w = original_size
-        probs = np.zeros((T, h, w), np.float32)
-        if exp_i // 4 == 0:  # object 0 claims the left half
-            probs[:, :, : w // 2] = 0.9
-        else:  # object 1 claims the right half
-            probs[:, :, w // 2 :] = 0.9
-        return probs
+        out = []
+        for text in texts:
+            exp_i = int(text.split()[-1])
+            probs = np.zeros((T, h, w), np.float32)
+            if exp_i // 4 == 0:  # object 0 claims the left half
+                probs[:, :, : w // 2] = 0.9
+            else:  # object 1 claims the right half
+                probs[:, :, w // 2 :] = 0.9
+            out.append(probs)
+        return out
 
-    monkeypatch.setattr(InferenceEngine, "infer_video", fake_infer_video)
+    monkeypatch.setattr(InferenceEngine, "infer_video_multi",
+                        fake_infer_video_multi)
     out_dir = tmp_path / "out"
     cfg = _tiny_cfg(
         tmp_path, dataset_name="ref_davis", img_folder=str(root),

@@ -103,6 +103,23 @@ def test_ytvos_submission_zip(tmp_path):
     assert "Annotations/vid1/0/00000.png" in names
 
 
+def test_multi_expression_backbone_reuse_parity(engine):
+    """infer_video_multi (backbone once + per-expression head on shared
+    device features) must equal per-expression infer_video (fused clip
+    program) — model.head(model.backbone_features(x)) == model(x)."""
+    frames = np.random.RandomState(2).randn(6, 40, 56, 3).astype(np.float32)
+    texts = ["a thing", "another longer thing"]
+    multi = engine.infer_video_multi(
+        frames, texts, original_size=(40, 56), return_probs=True)
+    assert len(multi) == 2
+    for text, got in zip(texts, multi):
+        want = engine.infer_video(
+            frames, text, original_size=(40, 56), return_probs=True)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # different expressions genuinely produce different outputs
+    assert np.abs(multi[0] - multi[1]).max() > 1e-6
+
+
 def test_group_davis_annotator_order():
     """The converted DAVIS exp-id layout is object-major (exp = obj*4 +
     anno, reference convert_davis_to_ytbs.py:165-177); the reference's
