@@ -50,7 +50,7 @@ class ReferDAVISDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         vid_id, frame_indices, exp = self.samples_list[idx]
-        text = " ".join(exp["exp"].lower().split())
+        text = self.get_text(idx)
         frames = [
             np.asarray(
                 Image.open(path.join(self.videos_dir, vid_id, f"{i}.jpg")).convert("RGB"),

@@ -160,11 +160,12 @@ class ReferYouTubeVOSDataset:
     def exp_id(self, idx: int) -> str:
         return self.samples_list[idx][2].get("exp_id")
 
-    def video_groups(self) -> Dict[str, List[int]]:
-        """Valid-split sample indices grouped by (video, identical frame
-        window) — every group shares decoded frames, so inference can run
-        the text-independent backbone once per group
-        (InferenceEngine.infer_video_multi)."""
+    def video_groups(self) -> Dict[Tuple[str, Tuple], List[int]]:
+        """Sample indices grouped by (video_id, frame_window) — one video can
+        map to several groups when frame windows differ. Every group shares
+        decoded frames, so inference can run the text-independent backbone
+        once per group (InferenceEngine.infer_video_multi). Callers consume
+        .values(); the keys exist for debugging."""
         groups: Dict = {}
         for i, (vid_id, frame_indices, _) in enumerate(self.samples_list):
             groups.setdefault((vid_id, tuple(frame_indices)), []).append(i)
@@ -180,7 +181,7 @@ class ReferYouTubeVOSDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         vid_id, frame_indices, exp = self.samples_list[idx]
-        text = " ".join(exp["exp"].lower().split())
+        text = self.get_text(idx)  # train transforms may still alter it below
         frames = [
             np.asarray(
                 Image.open(path.join(self.videos_dir, vid_id, f"{i}.jpg")).convert("RGB"),

@@ -277,10 +277,19 @@ def build_ytvos_evaluator(model, config, dataset=None) -> Callable:
         from .parallel.multihost import barrier, is_main_process
 
         ds = state["ds"]
+        # shard GROUPS (videos) across processes so every group's expressions
+        # stay on one host and share the backbone stage; keeps the real
+        # dataset object (lazy decode + get_text/exp_id accessors) intact.
+        # Datasets without video_groups (e.g. test fixtures) degrade to
+        # singleton groups — per-expression inference, still sharded.
+        if hasattr(ds, "video_groups"):
+            groups = list(ds.video_groups().values())
+        else:
+            groups = [[i] for i in range(len(ds))]
         if jax.process_count() > 1:
-            idx = shard_videos(list(range(len(ds))))
-            ds = [ds[i] for i in idx]
-        evaluate_refer_youtube_vos(engine, ds, str(epoch_dir), make_zip=False)
+            groups = shard_videos(groups)
+        evaluate_refer_youtube_vos(engine, ds, str(epoch_dir),
+                                   make_zip=False, groups=groups)
         barrier("ytvos_eval_pngs")  # all hosts done writing PNGs
         zip_path = out_root / f"submission_epoch_{epoch}.zip"
         if is_main_process():
@@ -341,6 +350,11 @@ def evaluate_refer_youtube_vos(
             texts = [dataset.get_text(i) for i in g]
             metas = [{**meta0, "exp_id": dataset.exp_id(i)} for i in g]
         else:  # single-sample group (datasets without the accessors)
+            if len(g) > 1:
+                raise ValueError(
+                    "multi-expression groups need dataset.get_text/exp_id "
+                    f"accessors (got a {len(g)}-element group on "
+                    f"{type(dataset).__name__})")
             texts = [s["text"]]
             metas = [meta0]
         results = engine.infer_video_multi(

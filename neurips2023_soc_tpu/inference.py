@@ -170,9 +170,20 @@ class InferenceEngine:
                 outs = [run_head(self.params, feats, pad, ids, msk)
                         for ids, msk in toks]
             for (sc, lg, bx), (ascores, alogits, aboxes) in zip(outs, per):
-                ascores.append(np.asarray(sc[:t]))  # (t, Nq)
-                alogits.append(np.asarray(lg[:t]).astype(np.float32))
-                aboxes.append(np.asarray(bx[:t]).astype(np.float32))
+                scores = np.asarray(sc[:t])  # (t, Nq)
+                logits = np.asarray(lg[:t]).astype(np.float32)
+                boxes = np.asarray(bx[:t]).astype(np.float32)
+                if trajectory == "chunk":
+                    # per-chunk selection happens NOW, so only the chosen
+                    # query's logits/boxes are held — holding all Nq for all
+                    # K expressions of a long DAVIS video would multiply
+                    # peak host RAM by Nq*K
+                    q = int(scores.mean(0).argmax())
+                    logits = logits[:, q : q + 1]
+                    boxes = boxes[:, q : q + 1]
+                ascores.append(scores)
+                alogits.append(logits)
+                aboxes.append(boxes)
 
         return [
             self._finish_video(
@@ -189,8 +200,9 @@ class InferenceEngine:
         if trajectory == "video":
             best = int(scores.mean(0).argmax())
             chosen = [best] * len(all_logits)
-        else:  # per-chunk selection (DAVIS)
-            chosen = [int(s.mean(0).argmax()) for s in all_scores]
+        else:  # per-chunk selection already applied at fetch time: the
+            # stored logits/boxes hold only the chosen query (index 0)
+            chosen = [0] * len(all_logits)
 
         for logits, q in zip(all_logits, chosen):
             sel = logits[:, q]  # (t, h4, w4)
