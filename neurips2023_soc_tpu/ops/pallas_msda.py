@@ -210,11 +210,16 @@ def _transpose_inputs(sampling_locations, attention_weights, spatial_shapes,
 
 
 def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool,
-                 mxu: bool = False):
+                 mxu: bool = False, fuse_points: bool = False):
     """mxu=True replaces the per-tile lane gather with a one-hot MXU matmul:
     part[4D, q] = tile[4D, lane] @ onehot[lane, q]. The onehot is exact
     (0/1), so precision equals the gather path; the win is moving the
-    per-sample data movement from VPU shuffles onto the systolic array."""
+    per-sample data movement from VPU shuffles onto the systolic array.
+
+    fuse_points=True visits the UNION tile bounding box of a level's P
+    sampling points in one loop (P gathers per visit) instead of P separate
+    bounds-loops — 4x less scalar loop setup when the points' tight offsets
+    land them in the same tiles, extra wasted gathers when they spread."""
     if mxu:
         packed = False  # mxu samples an unpacked (possibly bf16) table
     CR = 2 * D if packed else 4 * D  # gathered table rows per tile
@@ -247,6 +252,51 @@ def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool,
         for qb in range(qpb):  # static unroll: value indexing must be static
             qa = qs * qpb + qb
             acc = jnp.zeros((D, LANES), jnp.float32)
+            if fuse_points and not mxu:
+                for l, (H, W, nty, ntx, base) in enumerate(geoms):
+                    # union bbox over this level's P points
+                    uy0 = bounds_ref[0, l, 0, qa, 0]
+                    uy1 = uy0 + bounds_ref[0, l, 0, qa, 1]
+                    ux0 = bounds_ref[0, l, 0, qa, 2]
+                    ux1 = ux0 + bounds_ref[0, l, 0, qa, 3]
+                    for p in range(1, P):
+                        y0 = bounds_ref[0, l, p, qa, 0]
+                        x0 = bounds_ref[0, l, p, qa, 2]
+                        uy0 = jnp.minimum(uy0, y0)
+                        uy1 = jnp.maximum(uy1, y0 + bounds_ref[0, l, p, qa, 1])
+                        ux0 = jnp.minimum(ux0, x0)
+                        ux1 = jnp.maximum(ux1, x0 + bounds_ref[0, l, p, qa, 3])
+                    txn_u = ux1 - ux0
+                    gs = [l * P + p for p in range(P)]
+                    LOs = [jnp.broadcast_to(lov_a[g][qb][None], (CR, LANES))
+                           for g in gs]
+                    tyvs = [tyv_a[g][qb][None] for g in gs]
+                    txvs = [txv_a[g][qb][None] for g in gs]
+
+                    def vbody(k, accs, uy0=uy0, ux0=ux0, txn_u=txn_u,
+                              ntx=ntx, base=base, LOs=LOs, tyvs=tyvs,
+                              txvs=txvs):
+                        ty = uy0 + k // txn_u
+                        tx = ux0 + k % txn_u
+                        tile = t_ref[0, base + ty * ntx + tx]  # read once
+                        out = []
+                        for p in range(P):
+                            cand = jnp.take_along_axis(tile, LOs[p], axis=1)
+                            m = (tyvs[p] == ty) & (txvs[p] == tx)
+                            out.append(accs[p] + jnp.where(m, cand, zero))
+                        return tuple(out)
+
+                    parts = jax.lax.fori_loop(
+                        0, (uy1 - uy0) * txn_u, vbody, (zero,) * P)
+                    for p, part in enumerate(parts):
+                        if packed:
+                            part = pltpu.bitcast(part, jnp.bfloat16)
+                        w4 = w4_a[gs[p]][qb]  # (4,128)
+                        acc = acc + (part.reshape(4, D, LANES)
+                                     * w4[:, None, :]).astype(
+                                         jnp.float32).sum(0)
+                o_ref[0, qb] = acc
+                continue
             for g, (l, (H, W, nty, ntx, base)) in enumerate(
                     (l, geom) for l, geom in enumerate(geoms) for _ in range(P)):
                 p = g % P
@@ -324,6 +374,7 @@ def ms_deform_attn_pallas(
     qpb_max: int = 8,
     permute: bool | None = None,
     mxu: bool | None = None,
+    fuse_points: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for `ms_deform_attn_xla` (same shapes/semantics).
 
@@ -373,7 +424,8 @@ def ms_deform_attn_pallas(
 
     BM = B * M
     CR = 2 * D if packed else 4 * D
-    kernel = _make_kernel(tuple(geoms), L, P, D, qpb, packed, mxu=mxu)
+    kernel = _make_kernel(tuple(geoms), L, P, D, qpb, packed, mxu=mxu,
+                          fuse_points=fuse_points)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((BM, nqb, D, LANES), jnp.float32),

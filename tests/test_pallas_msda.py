@@ -210,3 +210,19 @@ def test_mxu_forward_parity():
                                     mxu=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("case", ["encoder", "uniform", "decoder"])
+def test_fuse_points_forward_parity(case):
+    """The fused-points visit loop (one union-bbox loop per level with P
+    gathers per visit, instead of P separate bounds-loops) must equal the
+    per-point formulation exactly."""
+    kw = dict(uniform=(case == "uniform"))
+    if case == "decoder":
+        kw["Lq"] = 7
+    v, loc, a = _inputs(**kw)
+    want = ms_deform_attn_xla(v, SHAPES, loc, a)
+    got = ms_deform_attn_pallas(v, SHAPES, loc, a, interpret=True,
+                                fuse_points=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
