@@ -479,10 +479,16 @@ def ms_deform_attn_pallas(
 
 
 def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
-                     bf16_mm: bool = False, linear_visit: bool = False):
+                     bf16_mm: bool = False, linear_visit: bool = False,
+                     fuse_points: bool = False):
     """bf16_mm: run the d_table one-hot matmuls with bf16 operands (f32
     accumulate). Used when the primal value is bf16 — the cotangent products
-    are bf16-precision in bf16 training anyway — for the 2x MXU rate."""
+    are bf16-precision in bf16 training anyway — for the 2x MXU rate.
+
+    fuse_points: one union-bbox loop per level; per visit the P points'
+    one-hot scatters concatenate into a single (CR, P*128) x (P*128, 128)
+    MXU dot — a 4x larger contraction than the per-point dots, plus 4x less
+    scalar loop setup."""
     CR = 4 * D  # backward always samples the unpacked f32 table
     mm_dt = jnp.bfloat16 if bf16_mm else jnp.float32
 
@@ -519,6 +525,70 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
         for qb in range(qpb):  # static unroll (ref indexing must be static)
             qa = qs * qpb + qb
             go_b = go_ref[0, qb]  # (D, 128) f32
+            if fuse_points:
+                for l, (H, W, nty, ntx, base) in enumerate(geoms):
+                    pres = [pre[l * P + p] for p in range(P)]
+                    As, mohs, LOs, tyvs, txvs = [], [], [], [], []
+                    for p in range(P):
+                        tyq, txq, loq, w4q, _, _ = pres[p]
+                        lo = loq[qb]
+                        aw = att_ref[0, l, p, qb]
+                        A = ((w4q[qb] * aw[None])[:, None, :]
+                             * go_b[None, :, :]).reshape(CR, LANES)
+                        As.append(A.astype(mm_dt))
+                        mohs.append(jnp.where(lo[:, None] == lane_ids,
+                                              1.0, 0.0).astype(mm_dt))
+                        LOs.append(jnp.broadcast_to(lo[None], (CR, LANES)))
+                        tyvs.append(tyq[qb][None])
+                        txvs.append(txq[qb][None])
+                    A_cat = jnp.concatenate(As, axis=1)  # (CR, P*LANES)
+                    uy0 = bounds_ref[0, l, 0, qa, 0]
+                    uy1 = uy0 + bounds_ref[0, l, 0, qa, 1]
+                    ux0 = bounds_ref[0, l, 0, qa, 2]
+                    ux1 = ux0 + bounds_ref[0, l, 0, qa, 3]
+                    for p in range(1, P):
+                        y0 = bounds_ref[0, l, p, qa, 0]
+                        x0 = bounds_ref[0, l, p, qa, 2]
+                        uy0 = jnp.minimum(uy0, y0)
+                        uy1 = jnp.maximum(
+                            uy1, y0 + bounds_ref[0, l, p, qa, 1])
+                        ux0 = jnp.minimum(ux0, x0)
+                        ux1 = jnp.maximum(
+                            ux1, x0 + bounds_ref[0, l, p, qa, 3])
+                    txn_u = ux1 - ux0
+
+                    def vbody(k, accs, uy0=uy0, ux0=ux0, txn_u=txn_u,
+                              ntx=ntx, base=base, A_cat=A_cat, mohs=mohs,
+                              LOs=LOs, tyvs=tyvs, txvs=txvs):
+                        ty = uy0 + k // txn_u
+                        tx = ux0 + k % txn_u
+                        t = base + ty * ntx + tx
+                        tile = t_ref[0, t]  # read once, shared by P points
+                        out, rows = [], []
+                        for p in range(P):
+                            m = (tyvs[p] == ty) & (txvs[p] == tx)
+                            cand = jnp.take_along_axis(tile, LOs[p], axis=1)
+                            out.append(accs[p] + jnp.where(m, cand, zero))
+                            mrow = jnp.where(m, 1.0, 0.0).reshape(
+                                LANES, 1).astype(A_cat.dtype)
+                            rows.append(mohs[p] * mrow)
+                        oh_cat = jnp.concatenate(rows, axis=0)  # (P*L, L)
+                        dt_ref[0, t] += jnp.dot(
+                            A_cat, oh_cat,
+                            preferred_element_type=jnp.float32)
+                        return tuple(out)
+
+                    parts = jax.lax.fori_loop(
+                        0, (uy1 - uy0) * txn_u, vbody, (zero,) * P)
+                    for p in range(P):
+                        _, _, _, w4q, dx4q, dy4q = pres[p]
+                        aw = att_ref[0, l, p, qb]
+                        v4 = parts[p].reshape(4, D, LANES)
+                        s4 = (v4 * go_b[None]).sum(1)  # (4, 128)
+                        datt_ref[0, l, p, qb] = (w4q[qb] * s4).sum(0)
+                        dlx_ref[0, l, p, qb] = aw * W * (dx4q[qb] * s4).sum(0)
+                        dly_ref[0, l, p, qb] = aw * H * (dy4q[qb] * s4).sum(0)
+                continue
             for g, (l, (H, W, nty, ntx, base)) in enumerate(
                     (l, geom) for l, geom in enumerate(geoms)
                     for _ in range(P)):
@@ -617,6 +687,7 @@ def ms_deform_attn_pallas_bwd(
     qpb_max: int = 8,
     permute: bool | None = None,
     linear_visit: bool = False,
+    fuse_points: bool = False,
 ):
     """Pallas backward: (d_value, d_sampling_locations, d_attention_weights)
     for cotangent g of shape (B, Lq, M*D). Semantics match XLA autodiff of
@@ -644,7 +715,7 @@ def ms_deform_attn_pallas_bwd(
         d_val, d_loc_p, d_att_p = ms_deform_attn_pallas_bwd(
             value, spatial_shapes, loc_p, att_p, g_p,
             interpret=interpret, qpb_max=qpb_max, permute=False,
-            linear_visit=linear_visit)
+            linear_visit=linear_visit, fuse_points=fuse_points)
         d_loc = jnp.take(d_loc_p, inv, axis=1)
         d_att = jnp.take(d_att_p, inv, axis=1)
         return d_val, d_loc, d_att
@@ -672,7 +743,7 @@ def ms_deform_attn_pallas_bwd(
     kernel = _make_bwd_kernel(
         tuple(geoms), L, P, D, qpb,
         bf16_mm=value.dtype == jnp.bfloat16 and not interpret,
-        linear_visit=linear_visit)
+        linear_visit=linear_visit, fuse_points=fuse_points)
     dtab, dlx, dly, datt = pl.pallas_call(
         kernel,
         out_shape=(

@@ -226,3 +226,31 @@ def test_fuse_points_forward_parity(case):
                                 fuse_points=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("case", ["encoder", "decoder"])
+def test_fuse_points_backward_parity(case):
+    """Fused-points backward (one union-bbox loop per level, P one-hot
+    scatters concatenated into a single MXU dot per visit) must match XLA
+    autodiff of the oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from neurips2023_soc_tpu.ops.pallas_msda import ms_deform_attn_pallas_bwd
+
+    kw = {} if case == "encoder" else {"Lq": 7}
+    v, loc, a = _inputs(M=2, D=8, P=4, **kw)
+    g = np.random.RandomState(1).randn(*v.shape[:1], loc.shape[1],
+                                       v.shape[2] * v.shape[3]).astype(
+                                           np.float32)
+
+    def f(v_, loc_, a_):
+        return (ms_deform_attn_xla(v_, SHAPES, loc_, a_) * g).sum()
+
+    want = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(v), jnp.asarray(loc), jnp.asarray(a))
+    got = ms_deform_attn_pallas_bwd(v, SHAPES, loc, a, g, interpret=True,
+                                    fuse_points=True)
+    for gw, go in zip(want, got):
+        np.testing.assert_allclose(np.asarray(go), np.asarray(gw),
+                                   rtol=2e-5, atol=2e-5)
