@@ -40,6 +40,8 @@ def build_train_dataset(config):
         return A2DSentencesDataset(
             "train", config.img_folder, window_size=config.window_size,
             transforms_kwargs=tk,
+            force_rebuild_metadata=bool(
+                config.get("generate_new_samples_metadata", False)),
         )
     if name == "synthetic":
         from ..data.synthetic import SyntheticRVOSDataset
@@ -114,20 +116,27 @@ def build_evaluator(config, tokenizer, model=None):
     if name in ("a2d_sentences", "jhmdb_sentences"):
         from ..evaluators import build_a2d_evaluator
 
+        rebuild = bool(config.get("generate_new_samples_metadata", False))
         if name == "a2d_sentences":
             from ..data.a2d_sentences import A2DSentencesDataset
 
             val = A2DSentencesDataset("test", config.img_folder,
                                       window_size=config.window_size,
-                                      transforms_kwargs=tk)
+                                      transforms_kwargs=tk,
+                                      force_rebuild_metadata=rebuild)
         else:
             from ..data.jhmdb_sentences import JHMDBSentencesDataset
 
             val = JHMDBSentencesDataset("test", config.img_folder,
                                         window_size=config.window_size,
-                                        transforms_kwargs=tk)
-        return build_a2d_evaluator(val, tokenizer,
-                                   eval_batch_size=config.eval_batch_size)
+                                        transforms_kwargs=tk,
+                                        force_rebuild_metadata=rebuild)
+        return build_a2d_evaluator(
+            val, tokenizer, eval_batch_size=config.eval_batch_size,
+            # reference config keys (trainer.py:306, create_gt_in_coco_format)
+            calculate_pr=config.get("calculate_precision_and_iou_metrics",
+                                    True),
+            gt_json_path=config.get("dataset_coco_gt_format_path") or None)
     if name == "ref_youtube_vos" and model is not None:
         from os import path
 

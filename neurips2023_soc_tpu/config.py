@@ -60,13 +60,36 @@ def _flatten_yaml(raw: Mapping[str, Any]) -> Dict[str, Any]:
     return out
 
 
+# Reference-YAML compatibility: keys the reference configs use whose role is
+# carried by a differently-named (or differently-typed) key here. Applied
+# only when the target key is absent, so our own configs are unaffected and a
+# user can point the CLIs directly at the reference's configs/*.yaml.
+#   enable_amp (trainer.py:107 autocast)      -> compute_dtype
+#   davis_path (infer_davis.py:79 data root)  -> img_folder
+#   out_dir    (main.py:43 visualize output)  -> output_dir
+_REFERENCE_ALIASES = (
+    ("enable_amp", "compute_dtype",
+     lambda v: "bfloat16" if v else "float32"),
+    ("davis_path", "img_folder", None),
+    ("out_dir", "output_dir", None),
+)
+
+
+def _apply_reference_aliases(data: Dict[str, Any]) -> Dict[str, Any]:
+    for ref_key, our_key, conv in _REFERENCE_ALIASES:
+        if ref_key in data and our_key not in data:
+            v = data[ref_key]
+            data[our_key] = conv(v) if conv else v
+    return data
+
+
 def load_config(
     path: str | Path,
     overrides: Optional[Mapping[str, Any]] = None,
 ) -> Config:
     with open(path) as f:
         raw = yaml.safe_load(f)
-    data = _flatten_yaml(raw or {})
+    data = _apply_reference_aliases(_flatten_yaml(raw or {}))
     if overrides:
         for k, v in overrides.items():
             if v is not None:

@@ -66,15 +66,17 @@ def video_frame_count(video_path: str) -> int:
 
 
 def build_text_annotations(root_path: str, subset: str,
-                           cache_dir: Optional[str] = None) -> List[Tuple]:
+                           cache_dir: Optional[str] = None,
+                           force_rebuild: bool = False) -> List[Tuple]:
     """(text, video_id, frame_idx, instance_id) tuples
-    (reference a2d_sentences_dataset.py:53-103)."""
+    (reference a2d_sentences_dataset.py:53-103). force_rebuild ignores an
+    existing cache file (the reference's `generate_new_samples_metadata`)."""
     import h5py
     import pandas
 
     cache = path.join(cache_dir or root_path,
                       f"a2d_sentences_single_frame_{subset}_annotations.json")
-    if path.exists(cache):
+    if path.exists(cache) and not force_rebuild:
         with open(cache) as f:
             return [tuple(a) for a in json.load(f)]
 
@@ -111,7 +113,8 @@ class A2DSentencesDataset:
     def __init__(self, subset_type: str = "train",
                  dataset_path: str = "data/a2d_sentences", window_size: int = 8,
                  transforms_kwargs: Optional[Dict] = None,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 force_rebuild_metadata: bool = False):
         assert subset_type in ("train", "test")
         self.subset_type = subset_type
         self.window_size = window_size
@@ -119,7 +122,8 @@ class A2DSentencesDataset:
         self.mask_annotations_dir = path.join(
             dataset_path, "text_annotations/a2d_annotation_with_instances")
         self.text_annotations = build_text_annotations(
-            dataset_path, subset_type, cache_dir)
+            dataset_path, subset_type, cache_dir,
+            force_rebuild=force_rebuild_metadata)
         self.transforms = VideoTransforms(subset_type, **(transforms_kwargs or {}))
         self.seed = int((transforms_kwargs or {}).get("seed") or 0)
         self._epoch = 0

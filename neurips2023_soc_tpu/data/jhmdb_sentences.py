@@ -24,12 +24,14 @@ def get_image_id(video_id: str, frame_idx: int) -> str:
 
 
 def build_samples_metadata(dataset_path: str, cache_dir: Optional[str] = None,
-                           seed: int = 42) -> List[Tuple]:
+                           seed: int = 42,
+                           force_rebuild: bool = False) -> List[Tuple]:
     """3 random frames per video with text annotation
-    (reference jhmdb_sentences_dataset.py:44-76)."""
+    (reference jhmdb_sentences_dataset.py:44-76). force_rebuild ignores an
+    existing cache file (the reference's `generate_new_samples_metadata`)."""
     cache = path.join(cache_dir or dataset_path,
                       "jhmdb_sentences_samples_metadata.json")
-    if path.exists(cache):
+    if path.exists(cache) and not force_rebuild:
         with open(cache) as f:
             return [tuple(a) for a in json.load(f)]
     with open(path.join(dataset_path, "jhmdb_annotation.txt")) as f:
@@ -65,10 +67,12 @@ class JHMDBSentencesDataset:
                  dataset_path: str = "data/jhmdb_sentences",
                  window_size: int = 8,
                  transforms_kwargs: Optional[Dict] = None,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 force_rebuild_metadata: bool = False):
         assert subset_type == "test", "JHMDB-Sentences is evaluation-only"
         self.window_size = window_size
-        self.samples_metadata = build_samples_metadata(dataset_path, cache_dir)
+        self.samples_metadata = build_samples_metadata(
+            dataset_path, cache_dir, force_rebuild=force_rebuild_metadata)
         self.transforms = VideoTransforms("test", **(transforms_kwargs or {}))
 
     def __len__(self):

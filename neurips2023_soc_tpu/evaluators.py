@@ -31,6 +31,45 @@ def build_a2d_gt_annotations(dataset) -> List[Dict]:
     return gts
 
 
+def write_coco_gt_json(gt_annotations: List[Dict], out_path: str) -> None:
+    """Write GT annotations as a pycocotools-loadable COCO dataset JSON in
+    the reference's exact layout (datasets/a2d_sentences/
+    create_gt_in_coco_format.py:43-95: dummy single category, one image per
+    annotation, ascii RLE counts, xywh bbox) so external COCO tooling can
+    consume the same ground truth the in-process evaluator uses. Wired to
+    the reference's `dataset_coco_gt_format_path` config key."""
+    import json
+
+    from .evaluation.rle import decode as rle_decode
+
+    images, annotations = [], []
+    for i, gt in enumerate(gt_annotations):
+        rle = gt["segmentation"]
+        h, w = rle["size"]
+        images.append({"id": gt["image_id"], "height": int(h), "width": int(w)})
+        mask = rle_decode(rle)
+        ys, xs = np.nonzero(mask)
+        bbox = ([float(xs.min()), float(ys.min()),
+                 float(xs.max() - xs.min()), float(ys.max() - ys.min())]
+                if len(xs) else [0.0, 0.0, 0.0, 0.0])
+        counts = rle["counts"]
+        annotations.append({
+            "id": i + 1,
+            "image_id": gt["image_id"],
+            "category_id": 1,
+            "segmentation": {"size": rle["size"],
+                             "counts": counts.decode("ascii")
+                             if isinstance(counts, bytes) else counts},
+            "area": float(gt["area"]),
+            "bbox": bbox,
+            "iscrowd": int(gt.get("iscrowd", 0)),
+        })
+    out = {"categories": [{"id": 1, "name": "dummy_class"}],
+           "images": images, "annotations": annotations}
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+
+
 def evaluate_a2d_batches(
     forward: Callable,
     params,
@@ -160,9 +199,14 @@ def evaluate_coco_pretrain_batches(
 
 def build_a2d_evaluator(dataset, tokenizer, eval_batch_size: int = 4,
                         calculate_pr: bool = True,
-                        collate_kwargs: Optional[Dict] = None) -> Callable:
+                        collate_kwargs: Optional[Dict] = None,
+                        gt_json_path: Optional[str] = None) -> Callable:
     """Per-epoch A2D/JHMDB evaluation hook for Trainer (reference
-    trainer.py:252-313). GT annotations build once and cache."""
+    trainer.py:252-313). GT annotations build once and cache; if
+    `gt_json_path` is set (the reference's `dataset_coco_gt_format_path`),
+    the COCO-format GT JSON is written there once by the first host."""
+    from os import path
+
     from .data.collate import collate_batch
 
     gt_cache: Dict[str, List[Dict]] = {}
@@ -171,6 +215,11 @@ def build_a2d_evaluator(dataset, tokenizer, eval_batch_size: int = 4,
     def evaluate(forward, params, epoch: int) -> Dict[str, float]:
         if "gt" not in gt_cache:
             gt_cache["gt"] = build_a2d_gt_annotations(dataset)
+            if gt_json_path and not path.exists(gt_json_path):
+                from .parallel.multihost import is_main_process
+
+                if is_main_process():
+                    write_coco_gt_json(gt_cache["gt"], gt_json_path)
 
         def batches():
             for start in range(0, len(dataset), eval_batch_size):

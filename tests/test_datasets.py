@@ -115,7 +115,7 @@ def test_jhmdb_dataset(jhmdb_root, monkeypatch):
     from neurips2023_soc_tpu.data import jhmdb_sentences as jh
 
     monkeypatch.setattr(jh, "build_samples_metadata",
-                        lambda p, c=None, seed=42: _jhmdb_meta(jhmdb_root))
+                        lambda p, c=None, seed=42, **kw: _jhmdb_meta(jhmdb_root))
     ds = jh.JHMDBSentencesDataset(
         "test", str(jhmdb_root), window_size=4,
         transforms_kwargs=dict(eval_short_size=48, eval_max_size=64),

@@ -46,3 +46,34 @@ def test_a2d_protocol_end_to_end():
         assert np.isfinite(v), (k, v)
     # random weights -> near-zero mAP, but the protocol must run end to end
     assert 0.0 <= metrics["mAP 0.5:0.95"] <= 1.0
+
+
+def test_write_coco_gt_json_round_trip(tmp_path):
+    """The dataset_coco_gt_format_path JSON matches the reference's layout
+    (create_gt_in_coco_format.py:43-95) and its RLEs decode back exactly."""
+    import json
+
+    from neurips2023_soc_tpu.evaluation.rle import decode, encode
+    from neurips2023_soc_tpu.evaluators import write_coco_gt_json
+
+    rng = np.random.RandomState(0)
+    gts = []
+    masks = []
+    for i in range(3):
+        m = (rng.rand(17, 23) > 0.6).astype(np.uint8)
+        masks.append(m)
+        gts.append({"image_id": f"img_{i}", "segmentation": encode(m),
+                    "iscrowd": 0, "area": int(m.sum())})
+    out = tmp_path / "gt.json"
+    write_coco_gt_json(gts, str(out))
+    d = json.loads(out.read_text())
+    assert d["categories"] == [{"id": 1, "name": "dummy_class"}]
+    assert [im["id"] for im in d["images"]] == ["img_0", "img_1", "img_2"]
+    for i, ann in enumerate(d["annotations"]):
+        assert ann["category_id"] == 1 and ann["iscrowd"] == 0
+        assert isinstance(ann["segmentation"]["counts"], str)  # ascii, not bytes
+        np.testing.assert_array_equal(decode(ann["segmentation"]), masks[i])
+        ys, xs = np.nonzero(masks[i])
+        assert ann["bbox"] == [float(xs.min()), float(ys.min()),
+                               float(xs.max() - xs.min()),
+                               float(ys.max() - ys.min())]
