@@ -105,14 +105,18 @@ def make_batch_iterator(dataset, config, tokenizer, num_hosts=None,
     return train_batches
 
 
+def _eval_tk(config):
+    return dict(eval_short_size=config.eval_short_size,
+                eval_max_size=config.eval_max_size)
+
+
 def build_evaluator(config, tokenizer, model=None):
     """Per-epoch eval hook. A2D/JHMDB: COCO-protocol mAP. Ref-YTVOS: the
     reference runs valid-split inference -> PNG masks -> submission zip every
     epoch (trainer.py:315-354; no public GT, so checkpoint selection stays on
     train loss) — same here, gated on the valid split being on disk."""
     name = config.dataset_name
-    tk = dict(eval_short_size=config.eval_short_size,
-              eval_max_size=config.eval_max_size)
+    tk = _eval_tk(config)
     if name in ("a2d_sentences", "jhmdb_sentences"):
         from ..evaluators import build_a2d_evaluator
 
@@ -187,6 +191,40 @@ def main():
             trainer.init_state(first)
         metrics = trainer.evaluate_fn(trainer._forward, trainer._state.params, 0)
         print(metrics)
+    elif args.running_mode == "pred":
+        # reference main.py:36-43 'pred': visualize the val split's best
+        # masks to out_dir (predict.py:25-97)
+        if config.dataset_name not in ("a2d_sentences", "jhmdb_sentences"):
+            raise SystemExit("-rm pred supports a2d/jhmdb configs "
+                             "(reference predict.py drives the A2D-style "
+                             "val loader)")
+        from ..evaluators import run_predict_visualize
+
+        rebuild = bool(config.get("generate_new_samples_metadata", False))
+        if config.dataset_name == "a2d_sentences":
+            from ..data.a2d_sentences import A2DSentencesDataset
+
+            val = A2DSentencesDataset("test", config.img_folder,
+                                      window_size=config.window_size,
+                                      transforms_kwargs=_eval_tk(config),
+                                      force_rebuild_metadata=rebuild)
+        else:
+            from ..data.jhmdb_sentences import JHMDBSentencesDataset
+
+            val = JHMDBSentencesDataset("test", config.img_folder,
+                                        window_size=config.window_size,
+                                        transforms_kwargs=_eval_tk(config),
+                                        force_rebuild_metadata=rebuild)
+        first = next(iter(trainer.train_batches(0)))
+        if config.get("checkpoint_path"):
+            trainer.load_checkpoint(sample_batch=first)
+        elif trainer._state is None:
+            trainer.init_state(first)
+        out_dir = (config.get("output_dir") or "outputs") + "/visualize"
+        n = run_predict_visualize(
+            trainer._forward, trainer._state.params, val, tokenizer, out_dir,
+            eval_batch_size=config.eval_batch_size)
+        print(f"wrote {n} visualizations to {out_dir}")
     else:
         raise ValueError(f"use infer_refytb/infer_davis for {args.running_mode}")
 

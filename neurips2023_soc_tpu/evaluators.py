@@ -234,6 +234,63 @@ def build_a2d_evaluator(dataset, tokenizer, eval_batch_size: int = 4,
     return evaluate
 
 
+# reference predict.py:13 — fixed overlay palette for `-rm pred`
+_PRED_COLORS = ([212, 255, 127], [193, 182, 255],
+                [106, 106, 255], [255, 206, 135])
+
+
+def run_predict_visualize(forward, params, dataset, tokenizer, out_dir: str,
+                          eval_batch_size: int = 4,
+                          collate_kwargs: Optional[Dict] = None) -> int:
+    """`-rm pred` (reference main.py:43 + predict.py:25-97): run the val
+    split, overlay each sample's highest-scoring mask on its denormalized
+    annotated frame at original resolution, and save
+    `out_dir/<video>/<image_id>.jpg` grouped per video. Returns the number
+    of images written."""
+    from pathlib import Path
+
+    from PIL import Image
+
+    from .data.collate import IMAGENET_MEAN, IMAGENET_STD, collate_batch
+    from .evaluation.rle import decode as rle_decode
+    from .utils.visualize import vis_add_mask
+
+    collate_kwargs = collate_kwargs or {}
+    out_root = Path(out_dir)
+    out_root.mkdir(parents=True, exist_ok=True)
+    written = 0
+    for start in range(0, len(dataset), eval_batch_size):
+        samples = [dataset[i] for i in
+                   range(start, min(start + eval_batch_size, len(dataset)))]
+        batch = collate_batch(samples, tokenizer, **collate_kwargs)
+        outputs = forward(params, batch)
+        preds = a2d_postprocess(
+            outputs, batch["pixels"].shape[2:4],
+            batch["resized_sizes"], batch["orig_sizes"])
+        for b, (image_id, p) in enumerate(zip(batch["image_ids"], preds)):
+            best = int(np.argmax(np.asarray(p["scores"])))
+            mask = rle_decode(p["rle_masks"][best])
+            # denormalize the annotated frame, crop padding, resize to orig
+            t = int(batch.get("valid_indices", np.zeros(len(preds), int))[b])
+            h, w = batch["resized_sizes"][b]
+            frame = np.asarray(batch["pixels"][t, b, :h, :w])
+            frame = np.clip((frame * IMAGENET_STD + IMAGENET_MEAN) * 255.0,
+                            0, 255).astype(np.uint8)
+            oh, ow = mask.shape
+            img = Image.fromarray(frame).resize((ow, oh), Image.BILINEAR)
+            over = vis_add_mask(np.asarray(img), mask,
+                                _PRED_COLORS[b % len(_PRED_COLORS)])
+            # reference predict.py:44-45 groups files by the video segment
+            # of 'v_<video>_f_<frame>_i_<inst>' ids; fall back to flat ids
+            parts = str(image_id).split("_")
+            folder = parts[1] if len(parts) > 2 and parts[0] == "v" else ""
+            dst = out_root / folder if folder else out_root
+            dst.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(over).save(dst / f"{image_id}.jpg")
+            written += 1
+    return written
+
+
 def build_pretrain_evaluator(val_sets, tokenizer, eval_batch_size: int = 1,
                              size_buckets=None) -> Callable:
     """Per-epoch RefCOCO/+/g validation hook for Trainer (reference

@@ -77,3 +77,35 @@ def test_write_coco_gt_json_round_trip(tmp_path):
         assert ann["bbox"] == [float(xs.min()), float(ys.min()),
                                float(xs.max() - xs.min()),
                                float(ys.max() - ys.min())]
+
+
+def test_predict_visualize(tmp_path):
+    """-rm pred workflow (reference main.py:43 + predict.py:25-97): best
+    mask overlaid on the denormalized annotated frame, one JPG per sample."""
+    from neurips2023_soc_tpu.evaluators import run_predict_visualize
+
+    ds = SyntheticRVOSDataset(num_samples=3, num_frames=4,
+                              frame_size=(48, 64), center_frame_only=True)
+    tok = build_tokenizer("roberta-tiny", text_bucket=12)
+    model = SOC(
+        backbone_name="video-swin-t", d_model=64, num_queries=5,
+        dim_feedforward=128, enc_layers=1, dec_layers=2,
+        voc_enc_layers=1, voc_dec_layers=1, text_encoder_type="roberta-tiny",
+        dropout=0.0,
+    )
+    b0 = collate_batch([ds[0]], tok, size_buckets=((48, 64),),
+                       time_buckets=(4,))
+    params = model.init(jax.random.PRNGKey(0), b0["pixels"], b0["pad_mask"],
+                        b0["text_ids"], b0["text_mask"])
+    n = run_predict_visualize(
+        make_forward_fn(model), params, ds, tok, str(tmp_path / "vis"),
+        eval_batch_size=2,
+        collate_kwargs=dict(size_buckets=((48, 64),), time_buckets=(4,)))
+    assert n == 3
+    files = sorted((tmp_path / "vis").rglob("*.jpg"))
+    assert [f.name for f in files] == [f"synthetic_{i}.jpg" for i in range(3)]
+    from PIL import Image
+
+    for f, s in zip(files, [ds[i] for i in range(3)]):
+        img = np.asarray(Image.open(f))
+        assert img.shape == tuple(s["orig_size"]) + (3,)
