@@ -487,7 +487,7 @@ def ms_deform_attn_pallas(
 
 def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
                      bf16_mm: bool = False, linear_visit: bool = False,
-                     fuse_points: bool = False):
+                     fuse_points: bool = False, packed_in: bool = False):
     """bf16_mm: run the d_table one-hot matmuls with bf16 operands (f32
     accumulate). Used when the primal value is bf16 — the cotangent products
     are bf16-precision in bf16 training anyway — for the 2x MXU rate.
@@ -495,9 +495,25 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
     fuse_points: one union-bbox loop per level; per visit the P points'
     one-hot scatters concatenate into a single (CR, P*128) x (P*128, 128)
     MXU dot — a 4x larger contraction than the per-point dots, plus 4x less
-    scalar loop setup."""
-    CR = 4 * D  # backward always samples the unpacked f32 table
+    scalar loop setup.
+
+    packed_in: the INPUT table arrives int32-packed (two bf16 channels per
+    sublane, same as the forward's packed path) — halves the per-visit
+    gather rows and the table's VMEM traffic. Only the gathered table is
+    packed; the d_table accumulator stays unpacked f32. Exact: bf16->f32
+    promotion of the gathered values is lossless, and each sample's visit
+    mask selects exactly one tile so int32 accumulation never mixes
+    payloads."""
+    CR = 4 * D  # d_table accumulator rows (always unpacked f32)
+    CRG = 2 * D if packed_in else 4 * D  # gathered table rows per tile
+    gz_dt = jnp.int32 if packed_in else jnp.float32
     mm_dt = jnp.bfloat16 if bf16_mm else jnp.float32
+
+    def _unpack(part):
+        # (CRG, LANES) gather accumulator -> (4, D, LANES) sample values
+        if packed_in:
+            part = pltpu.bitcast(part, jnp.bfloat16)
+        return part.reshape(4, D, LANES)
 
     def kernel(bounds_ref, t_ref, locx_ref, locy_ref, att_ref, go_ref,
                dt_ref, dlx_ref, dly_ref, datt_ref):
@@ -507,7 +523,7 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
         def _init():
             dt_ref[...] = jnp.zeros(dt_ref.shape, dt_ref.dtype)
 
-        zero = jnp.zeros((CR, LANES), jnp.float32)
+        zero = jnp.zeros((CRG, LANES), gz_dt)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
 
         # anchor math + slot weights AND their coordinate derivatives,
@@ -545,7 +561,7 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
                         As.append(A.astype(mm_dt))
                         mohs.append(jnp.where(lo[:, None] == lane_ids,
                                               1.0, 0.0).astype(mm_dt))
-                        LOs.append(jnp.broadcast_to(lo[None], (CR, LANES)))
+                        LOs.append(jnp.broadcast_to(lo[None], (CRG, LANES)))
                         tyvs.append(tyq[qb][None])
                         txvs.append(txq[qb][None])
                     A_cat = jnp.concatenate(As, axis=1)  # (CR, P*LANES)
@@ -590,7 +606,7 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
                     for p in range(P):
                         _, _, _, w4q, dx4q, dy4q = pres[p]
                         aw = att_ref[0, l, p, qb]
-                        v4 = parts[p].reshape(4, D, LANES)
+                        v4 = _unpack(parts[p])
                         s4 = (v4 * go_b[None]).sum(1)  # (4, 128)
                         datt_ref[0, l, p, qb] = (w4q[qb] * s4).sum(0)
                         dlx_ref[0, l, p, qb] = aw * W * (dx4q[qb] * s4).sum(0)
@@ -604,7 +620,7 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
                 tyv = tyq[qb][None]  # (1, 128)
                 txv = txq[qb][None]
                 lo = loq[qb]  # (128,)
-                LO = jnp.broadcast_to(lo[None], (CR, LANES))
+                LO = jnp.broadcast_to(lo[None], (CRG, LANES))
                 aw = att_ref[0, l, p, qb]  # (128,)
                 w4 = w4q[qb]  # (4, 128), attention NOT included
                 # scatter payload: rows slot*D+d hold w4[slot]*attn*go[d]
@@ -652,7 +668,7 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
                             lambda kx, a: visit(tym + ky, txm + kx, a), acc)
 
                     part = jax.lax.fori_loop(0, tyn, ybody, zero)
-                v4 = part.reshape(4, D, LANES)
+                v4 = _unpack(part)
                 s4 = (v4 * go_b[None]).sum(1)  # (4, 128): v_slot . go
                 datt_ref[0, l, p, qb] = (w4 * s4).sum(0)
                 dlx_ref[0, l, p, qb] = aw * W * (dx4q[qb] * s4).sum(0)
@@ -742,12 +758,18 @@ def ms_deform_attn_pallas_bwd(
     nqb = _cdiv(nqb_raw, qpb) * qpb
     qs_steps = nqb // qpb
 
-    table = _build_tables(value, spatial_shapes, packed=False)
+    # bf16 values gather from the int32-packed table like the forward
+    # (halved table build + VMEM traffic; exact — see _make_bwd_kernel);
+    # MSDA_BWD_PACKED=0 restores the unpacked f32 table for A/B
+    packed_in = (value.dtype == jnp.bfloat16 and not interpret
+                 and os.environ.get("MSDA_BWD_PACKED", "1") == "1")
+    table = _build_tables(value, spatial_shapes, packed=packed_in)
     locx, locy, attk, bounds = _transpose_inputs(
         sampling_locations, attention_weights, spatial_shapes, nqb,
         permute=False)
     BM = B * M
     CR = 4 * D
+    CRT = 2 * D if packed_in else 4 * D  # input-table rows
 
     # cotangent into kernel layout (BM, nqb, D, LANES) — ZERO padding (edge
     # padding would double-count tail queries into d_table)
@@ -759,7 +781,8 @@ def ms_deform_attn_pallas_bwd(
     kernel = _make_bwd_kernel(
         tuple(geoms), L, P, D, qpb,
         bf16_mm=value.dtype == jnp.bfloat16 and not interpret,
-        linear_visit=linear_visit, fuse_points=fuse_points)
+        linear_visit=linear_visit, fuse_points=fuse_points,
+        packed_in=packed_in)
     dtab, dlx, dly, datt = pl.pallas_call(
         kernel,
         out_shape=(
@@ -772,7 +795,7 @@ def ms_deform_attn_pallas_bwd(
         in_specs=[
             pl.BlockSpec((1, L, P, nqb, 4), lambda b, q: (b, 0, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nt, CR, LANES), lambda b, q: (b, 0, 0, 0),
+            pl.BlockSpec((1, nt, CRT, LANES), lambda b, q: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, P, qpb, LANES), lambda b, q: (b, 0, 0, q, 0),
                          memory_space=pltpu.VMEM),

@@ -62,6 +62,39 @@ def check_bf16(shapes, B, M, D, Lq, P=4, label=""):
     return err < 2e-2
 
 
+def check_bwd_packed(shapes, B, M, D, Lq, P=4, label=""):
+    """Packed-input-table backward parity on chip: bf16 values gather from
+    the int32-packed table (MSDA_BWD_PACKED=1 default) — compare all three
+    gradients against the unpacked-table kernel, which is exact vs packed
+    (bf16->f32 promotion is lossless; only the gather layout differs)."""
+    import os
+
+    from neurips2023_soc_tpu.ops.pallas_msda import ms_deform_attn_pallas_bwd
+
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    v = jnp.asarray(rng.randn(B, S, M, D), jnp.bfloat16)
+    loc = (rng.rand(B, Lq, M, L, P, 2) * 1.2 - 0.1).astype(np.float32)
+    a = jnp.asarray(rng.rand(B, Lq, M, L, P), jnp.bfloat16)
+    g = rng.randn(B, Lq, M * D).astype(np.float32)
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["MSDA_BWD_PACKED"] = flag
+        outs[flag] = jax.jit(
+            lambda v, l, a, g: ms_deform_attn_pallas_bwd(v, shapes, l, a, g)
+        )(v, loc, a, g)
+    os.environ.pop("MSDA_BWD_PACKED", None)
+    ok = True
+    for name, ou, op in zip(("d_value", "d_loc", "d_attn"), outs["0"], outs["1"]):
+        ou = np.asarray(ou, np.float32)
+        op = np.asarray(op, np.float32)
+        err = np.abs(ou - op).max() / (np.abs(ou).max() + 1e-9)
+        ok &= err < 1e-6
+        print(f"bwd packed-table parity {label} {name}: rel-max-err "
+              f"{err:.2e} {'OK' if err < 1e-6 else 'FAIL'}")
+    return ok
+
+
 shapes = ((45, 80), (23, 40), (12, 20), (6, 10))
 ok = True
 ok &= check(shapes, 2, 8, 32, 4820, label="flagship-shape local")
@@ -70,6 +103,8 @@ ok &= check(shapes, 2, 8, 32, 20, label="decoder Lq=20")
 ok &= check(((7, 9), (4, 5)), 3, 4, 16, 63, local=False, label="odd shapes")
 ok &= check_bf16(shapes, 2, 8, 32, 4820, label="flagship-shape")
 ok &= check_bf16(((7, 9), (4, 5)), 3, 4, 16, 63, label="odd shapes")
+ok &= check_bwd_packed(shapes, 2, 8, 32, 4820, label="flagship")
+ok &= check_bwd_packed(((7, 9), (4, 5)), 3, 4, 16, 63, label="odd shapes")
 print("ALL OK" if ok else "FAILURES")
 
 # perf at flagship shape
