@@ -93,13 +93,25 @@ def main():
             return_probs=True,
             trajectory="chunk",  # reference infer_davis.py:242-247
         )
+        # decode each original JPEG once per VIDEO (all four annotators
+        # overlay the same pixels)
+        raw_frames = None
+        if config.get("visualize"):
+            from PIL import Image
+
+            raw_frames = [
+                np.asarray(Image.open(
+                    Path(config.img_folder) / "valid" / "JPEGImages"
+                    / video_id / f"{name}.jpg").convert("RGB"))
+                for name in frame_names
+            ]
         for anno_id in range(4):
             prob_masks = all_probs[anno_id * num_obj : (anno_id + 1) * num_obj]
             merged = merge_davis_annotator(prob_masks)
             save_davis_annotator_masks(
                 merged, str(out_root / f"anno_{anno_id}" / video_id), frame_names
             )
-            if config.get("visualize"):
+            if raw_frames is not None:
                 # reference infer_davis.py:274-283 ({split}_images tree);
                 # here each object id gets its own palette color
                 from PIL import Image
@@ -109,11 +121,8 @@ def main():
                 vd = out_root / "valid_images" / f"anno_{anno_id}" / video_id
                 vd.mkdir(parents=True, exist_ok=True)
                 for t, name in enumerate(frame_names):
-                    jpg = (Path(config.img_folder) / "valid" / "JPEGImages"
-                           / video_id / f"{name}.jpg")
-                    img = np.asarray(Image.open(jpg).convert("RGB"))
                     Image.fromarray(
-                        vis_add_index_mask(img, merged[t])
+                        vis_add_index_mask(raw_frames[t], merged[t])
                     ).save(vd / f"{name}.png")
         print(f"{video_id}: done ({time.time() - t0:.1f}s elapsed)")
 

@@ -110,31 +110,35 @@ def _eval_tk(config):
                 eval_max_size=config.eval_max_size)
 
 
+def build_a2d_style_val_dataset(config):
+    """The A2D/JHMDB val split (shared by the per-epoch evaluator and the
+    '-rm pred' visualizer — keep construction in ONE place)."""
+    rebuild = bool(config.get("generate_new_samples_metadata", False))
+    if config.dataset_name == "a2d_sentences":
+        from ..data.a2d_sentences import A2DSentencesDataset
+
+        return A2DSentencesDataset("test", config.img_folder,
+                                   window_size=config.window_size,
+                                   transforms_kwargs=_eval_tk(config),
+                                   force_rebuild_metadata=rebuild)
+    from ..data.jhmdb_sentences import JHMDBSentencesDataset
+
+    return JHMDBSentencesDataset("test", config.img_folder,
+                                 window_size=config.window_size,
+                                 transforms_kwargs=_eval_tk(config),
+                                 force_rebuild_metadata=rebuild)
+
+
 def build_evaluator(config, tokenizer, model=None):
     """Per-epoch eval hook. A2D/JHMDB: COCO-protocol mAP. Ref-YTVOS: the
     reference runs valid-split inference -> PNG masks -> submission zip every
     epoch (trainer.py:315-354; no public GT, so checkpoint selection stays on
     train loss) — same here, gated on the valid split being on disk."""
     name = config.dataset_name
-    tk = _eval_tk(config)
     if name in ("a2d_sentences", "jhmdb_sentences"):
         from ..evaluators import build_a2d_evaluator
 
-        rebuild = bool(config.get("generate_new_samples_metadata", False))
-        if name == "a2d_sentences":
-            from ..data.a2d_sentences import A2DSentencesDataset
-
-            val = A2DSentencesDataset("test", config.img_folder,
-                                      window_size=config.window_size,
-                                      transforms_kwargs=tk,
-                                      force_rebuild_metadata=rebuild)
-        else:
-            from ..data.jhmdb_sentences import JHMDBSentencesDataset
-
-            val = JHMDBSentencesDataset("test", config.img_folder,
-                                        window_size=config.window_size,
-                                        transforms_kwargs=tk,
-                                        force_rebuild_metadata=rebuild)
+        val = build_a2d_style_val_dataset(config)
         return build_a2d_evaluator(
             val, tokenizer, eval_batch_size=config.eval_batch_size,
             # reference config keys (trainer.py:306, create_gt_in_coco_format)
@@ -200,21 +204,7 @@ def main():
                              "val loader)")
         from ..evaluators import run_predict_visualize
 
-        rebuild = bool(config.get("generate_new_samples_metadata", False))
-        if config.dataset_name == "a2d_sentences":
-            from ..data.a2d_sentences import A2DSentencesDataset
-
-            val = A2DSentencesDataset("test", config.img_folder,
-                                      window_size=config.window_size,
-                                      transforms_kwargs=_eval_tk(config),
-                                      force_rebuild_metadata=rebuild)
-        else:
-            from ..data.jhmdb_sentences import JHMDBSentencesDataset
-
-            val = JHMDBSentencesDataset("test", config.img_folder,
-                                        window_size=config.window_size,
-                                        transforms_kwargs=_eval_tk(config),
-                                        force_rebuild_metadata=rebuild)
+        val = build_a2d_style_val_dataset(config)
         first = next(iter(trainer.train_batches(0)))
         if config.get("checkpoint_path"):
             trainer.load_checkpoint(sample_batch=first)

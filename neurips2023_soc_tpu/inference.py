@@ -48,6 +48,20 @@ class InferenceEngine:
         self.size_buckets = tuple(size_buckets)
         self._jitted = {}
 
+    @staticmethod
+    def _extract_outputs(out):
+        """Shared jitted-program tail: last-layer scores (max over classes),
+        bf16 stride-4 mask logits, and boxes for batch entry 0. The fused
+        clip program and the split head program must keep identical return
+        contracts (infer_video_multi treats them interchangeably)."""
+        pred_cls = out["pred_cls"][-1]  # (T, 1, Nq, K)
+        pred_masks = out["pred_masks"][-1]  # (T, 1, Nq, h, w)
+        pred_boxes = out["pred_boxes"][-1]  # (T, 1, Nq, 4) cxcywh in [0,1]
+        scores = jax.nn.sigmoid(pred_cls.astype(jnp.float32))[:, 0]  # (T,Nq,K)
+        # stride-4 logits for every query, bf16 to keep transfers small
+        return scores.max(-1), pred_masks[:, 0].astype(jnp.bfloat16), \
+            pred_boxes[:, 0]
+
     # ---------------- jitted clip programs ----------------
     def _clip_program(self):
         """All-query program: per-chunk scores + stride-4 mask logits for all
@@ -59,13 +73,7 @@ class InferenceEngine:
         @jax.jit
         def run(params, pixels, pad_mask, ids, msk):
             out = model.apply(params, pixels, pad_mask, ids, msk)
-            pred_cls = out["pred_cls"][-1]  # (T, 1, Nq, K)
-            pred_masks = out["pred_masks"][-1]  # (T, 1, Nq, h, w)
-            pred_boxes = out["pred_boxes"][-1]  # (T, 1, Nq, 4) cxcywh in [0,1]
-            scores = jax.nn.sigmoid(pred_cls.astype(jnp.float32))[:, 0]  # (T,Nq,K)
-            # stride-4 logits for every query, bf16 to keep transfers small
-            return scores.max(-1), pred_masks[:, 0].astype(jnp.bfloat16), \
-                pred_boxes[:, 0]
+            return InferenceEngine._extract_outputs(out)
 
         return run
 
@@ -92,12 +100,7 @@ class InferenceEngine:
             def run_head(params, features, pad_mask, ids, msk):
                 out = model.apply(params, features, pad_mask, ids, msk,
                                   method="head")
-                pred_cls = out["pred_cls"][-1]
-                pred_masks = out["pred_masks"][-1]
-                pred_boxes = out["pred_boxes"][-1]
-                scores = jax.nn.sigmoid(pred_cls.astype(jnp.float32))[:, 0]
-                return scores.max(-1), pred_masks[:, 0].astype(jnp.bfloat16), \
-                    pred_boxes[:, 0]
+                return InferenceEngine._extract_outputs(out)
 
             self._jitted["backbone"] = run_backbone
             self._jitted["head"] = run_head
@@ -225,12 +228,14 @@ class InferenceEngine:
         if not return_boxes:
             return result
 
-        # chosen-trajectory boxes: cxcywh normalized over the PADDED (H, W)
-        # canvas -> xyxy pixels at original size. The content occupies
-        # [:fh, :fw] starting at the origin, so padded pixels map to original
-        # via * (orig / content_extent).
+        # chosen-trajectory boxes: cxcywh normalized relative to the resized
+        # CONTENT extent (fh, fw) — collate normalizes targets by the
+        # per-sample content size, matching the reference's Normalize
+        # transform (datasets/transforms.py:383-400) — so original-size
+        # pixels are simply box * (oh, ow) (reference infer_refytb.py:293-297
+        # rescale_bboxes multiplies by the original size only).
         oh, ow = (original_size if original_size is not None else (fh, fw))
-        sx, sy = W * float(ow) / fw, H * float(oh) / fh
+        sx, sy = float(ow), float(oh)
         box_rows = []
         for bx, q in zip(all_boxes, chosen):
             cx, cy, bw, bh = [bx[:, q, k] for k in range(4)]

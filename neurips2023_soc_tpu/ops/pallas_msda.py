@@ -210,6 +210,24 @@ def _transpose_inputs(sampling_locations, attention_weights, spatial_shapes,
     return locx, locy, attk, bounds
 
 
+def _union_bbox(bounds_ref, l: int, qa, P: int):
+    """Union tile bounding box over a level's P sampling points — shared by
+    the forward and backward fused-points paths, which must visit identical
+    tile sets. Returns (uy0, uy1, ux0, ux1) scalars (exclusive maxima)."""
+    uy0 = bounds_ref[0, l, 0, qa, 0]
+    uy1 = uy0 + bounds_ref[0, l, 0, qa, 1]
+    ux0 = bounds_ref[0, l, 0, qa, 2]
+    ux1 = ux0 + bounds_ref[0, l, 0, qa, 3]
+    for p in range(1, P):
+        y0 = bounds_ref[0, l, p, qa, 0]
+        x0 = bounds_ref[0, l, p, qa, 2]
+        uy0 = jnp.minimum(uy0, y0)
+        uy1 = jnp.maximum(uy1, y0 + bounds_ref[0, l, p, qa, 1])
+        ux0 = jnp.minimum(ux0, x0)
+        ux1 = jnp.maximum(ux1, x0 + bounds_ref[0, l, p, qa, 3])
+    return uy0, uy1, ux0, ux1
+
+
 def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool,
                  mxu: bool = False, fuse_points: bool = False):
     """mxu=True replaces the per-tile lane gather with a one-hot MXU matmul:
@@ -255,18 +273,7 @@ def _make_kernel(geoms, L: int, P: int, D: int, qpb: int, packed: bool,
             acc = jnp.zeros((D, LANES), jnp.float32)
             if fuse_points and not mxu:
                 for l, (H, W, nty, ntx, base) in enumerate(geoms):
-                    # union bbox over this level's P points
-                    uy0 = bounds_ref[0, l, 0, qa, 0]
-                    uy1 = uy0 + bounds_ref[0, l, 0, qa, 1]
-                    ux0 = bounds_ref[0, l, 0, qa, 2]
-                    ux1 = ux0 + bounds_ref[0, l, 0, qa, 3]
-                    for p in range(1, P):
-                        y0 = bounds_ref[0, l, p, qa, 0]
-                        x0 = bounds_ref[0, l, p, qa, 2]
-                        uy0 = jnp.minimum(uy0, y0)
-                        uy1 = jnp.maximum(uy1, y0 + bounds_ref[0, l, p, qa, 1])
-                        ux0 = jnp.minimum(ux0, x0)
-                        ux1 = jnp.maximum(ux1, x0 + bounds_ref[0, l, p, qa, 3])
+                    uy0, uy1, ux0, ux1 = _union_bbox(bounds_ref, l, qa, P)
                     txn_u = ux1 - ux0
                     gs = [l * P + p for p in range(P)]
                     LOs = [jnp.broadcast_to(lov_a[g][qb][None], (CR, LANES))
@@ -565,19 +572,7 @@ def _make_bwd_kernel(geoms, L: int, P: int, D: int, qpb: int,
                         tyvs.append(tyq[qb][None])
                         txvs.append(txq[qb][None])
                     A_cat = jnp.concatenate(As, axis=1)  # (CR, P*LANES)
-                    uy0 = bounds_ref[0, l, 0, qa, 0]
-                    uy1 = uy0 + bounds_ref[0, l, 0, qa, 1]
-                    ux0 = bounds_ref[0, l, 0, qa, 2]
-                    ux1 = ux0 + bounds_ref[0, l, 0, qa, 3]
-                    for p in range(1, P):
-                        y0 = bounds_ref[0, l, p, qa, 0]
-                        x0 = bounds_ref[0, l, p, qa, 2]
-                        uy0 = jnp.minimum(uy0, y0)
-                        uy1 = jnp.maximum(
-                            uy1, y0 + bounds_ref[0, l, p, qa, 1])
-                        ux0 = jnp.minimum(ux0, x0)
-                        ux1 = jnp.maximum(
-                            ux1, x0 + bounds_ref[0, l, p, qa, 3])
+                    uy0, uy1, ux0, ux1 = _union_bbox(bounds_ref, l, qa, P)
                     txn_u = ux1 - ux0
 
                     def vbody(k, accs, uy0=uy0, ux0=ux0, txn_u=txn_u,

@@ -157,3 +157,28 @@ def test_infer_video_return_boxes(engine):
     assert (boxes[:, 1] <= boxes[:, 3]).all()
     assert boxes.min() >= 0
     assert (boxes[:, 0::2] <= 128).all() and (boxes[:, 1::2] <= 96).all()
+
+
+def test_finish_video_box_rescale_content_smaller_than_bucket():
+    """Boxes are cxcywh normalized by the resized CONTENT size (collate
+    normalizes targets per-sample; reference datasets/transforms.py:383-400),
+    so original-size pixels are box * (ow, oh) regardless of the padded
+    bucket — regression for an extra W/fw over-scale that only showed when
+    the content did not fill the size bucket (e.g. 4:3 video in a 16:9
+    bucket)."""
+    from neurips2023_soc_tpu.inference import InferenceEngine
+
+    t, nq, fh, fw, H, W = 2, 3, 48, 64, 64, 128  # content fills half the W
+    rs = np.random.RandomState(3)
+    scores = rs.rand(t, nq).astype(np.float32)
+    scores[:, 1] = 1.0  # query 1 wins
+    logits = rs.randn(t, nq, H // 4, W // 4).astype(np.float32)
+    boxes = np.zeros((t, nq, 4), np.float32)
+    boxes[:, 1] = [0.5, 0.5, 0.5, 0.5]  # centered half-extent box
+    oh, ow = 96, 128  # original is 2x the resized content
+    _, got = InferenceEngine._finish_video(
+        None, [scores], [logits], [boxes], fh, fw, H, W,
+        (oh, ow), False, "video", True)
+    want = np.array([[0.25 * ow, 0.25 * oh, 0.75 * ow, 0.75 * oh]] * t,
+                    np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5)

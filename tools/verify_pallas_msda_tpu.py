@@ -78,12 +78,20 @@ def check_bwd_packed(shapes, B, M, D, Lq, P=4, label=""):
     a = jnp.asarray(rng.rand(B, Lq, M, L, P), jnp.bfloat16)
     g = rng.randn(B, Lq, M * D).astype(np.float32)
     outs = {}
-    for flag in ("0", "1"):
-        os.environ["MSDA_BWD_PACKED"] = flag
-        outs[flag] = jax.jit(
-            lambda v, l, a, g: ms_deform_attn_pallas_bwd(v, shapes, l, a, g)
-        )(v, loc, a, g)
-    os.environ.pop("MSDA_BWD_PACKED", None)
+    prior = os.environ.get("MSDA_BWD_PACKED")
+    try:
+        for flag in ("0", "1"):
+            os.environ["MSDA_BWD_PACKED"] = flag
+            outs[flag] = jax.jit(
+                lambda v, l, a, g: ms_deform_attn_pallas_bwd(v, shapes, l, a, g)
+            )(v, loc, a, g)
+    finally:
+        # restore the caller's setting so the perf section below measures
+        # the configuration the user exported, not the default
+        if prior is None:
+            os.environ.pop("MSDA_BWD_PACKED", None)
+        else:
+            os.environ["MSDA_BWD_PACKED"] = prior
     ok = True
     for name, ou, op in zip(("d_value", "d_loc", "d_attn"), outs["0"], outs["1"]):
         ou = np.asarray(ou, np.float32)
