@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def measure(backbone: str, T: int, dtype_name: str, iters: int) -> float:
+def measure(backbone: str, T: int, dtype_name: str, iters: int) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +80,31 @@ def measure(backbone: str, T: int, dtype_name: str, iters: int) -> float:
         times.append(time.perf_counter() - t0)
     # median per-iteration time: robust to transient host-load spikes
     # (observed ±6% drift) without rewarding a single lucky iteration
-    return T / float(np.median(times))
+    sync_fps = T / float(np.median(times))
+
+    # steady-state (pipelined) throughput: dispatch clip i+1 before fetching
+    # clip i's checksum, hiding the host<->device round-trip behind device
+    # compute — exactly what InferenceEngine's pipelined video loop does in
+    # serving. EVERY iteration's checksum is still fetched (the runtime
+    # memoizes identical executions and block_until_ready does not imply
+    # completion, so only the host fetch forces real work); depth 1 keeps at
+    # most two clips in flight. Median over 3 rounds of `iters` clips.
+    rounds = []
+    seq = 1000
+    for _ in range(3):
+        pending = []
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            seq += 1
+            pending.append(
+                forward(params, px_d + np.float32(seq), pad_d, ids_d, msk_d))
+            if len(pending) > 1:
+                float(pending.pop(0))
+        for p in pending:
+            float(p)
+        rounds.append((time.perf_counter() - t0) / iters)
+    pipe_fps = T / float(np.median(rounds))
+    return {"pipelined": pipe_fps, "sync_per_call": sync_fps}
 
 
 def main():
@@ -104,7 +128,7 @@ def main():
         results[backbone] = measure(backbone, T, dtype_name, iters)
 
     primary = only or "video-swin-b"
-    fps = results[primary]
+    fps = results[primary]["pipelined"]
     base_key = ("ytvos_infer_fps_a100_provisional_swin_b"
                 if "swin-b" in primary else
                 "ytvos_infer_fps_a100_provisional_swin_t")
@@ -118,15 +142,23 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / base, 3) if base else None,
+        # pipelined = steady-state serving throughput (clip i+1 dispatched
+        # before clip i's fetch, every result fetched — the engine's
+        # pipeline_videos path); sync = one-clip-at-a-time latency protocol
+        # used for BENCH_r01/r02 numbers, includes the full host round-trip
+        "protocol": "pipelined_depth1_median_of_3_rounds",
+        "sync_per_call_fps": round(results[primary]["sync_per_call"], 3),
     }
     if base and not measured and baselines.get("provisional"):
         record["baseline_provenance"] = (
             f"PROVISIONAL spec-derived A100 estimate ({base} fps, "
             "baseline_fps.json) — not a measurement")
-    secondary = {b: round(v, 3) for b, v in results.items() if b != primary}
+    secondary = {b: v for b, v in results.items() if b != primary}
     if secondary:
         record["secondary"] = {
-            f"ytvos_whole_clip_infer_fps_{b}_{T}f_360x640_{dtype_name}": v
+            f"ytvos_whole_clip_infer_fps_{b}_{T}f_360x640_{dtype_name}":
+                {"pipelined": round(v["pipelined"], 3),
+                 "sync_per_call": round(v["sync_per_call"], 3)}
             for b, v in secondary.items()}
     print(json.dumps(record))
 

@@ -156,6 +156,33 @@ class InferenceEngine:
 
         chunk = max(self.time_buckets)
         per = [([], [], []) for _ in toks]  # (scores, logits, boxes) per text
+
+        def drain(entry):
+            """Fetch one in-flight chunk's device outputs to host."""
+            outs, t = entry
+            for (sc, lg, bx), (ascores, alogits, aboxes) in zip(outs, per):
+                scores = np.asarray(sc[:t])  # (t, Nq)
+                logits = np.asarray(lg[:t]).astype(np.float32)
+                boxes = np.asarray(bx[:t]).astype(np.float32)
+                if trajectory == "chunk":
+                    # per-chunk selection happens NOW, so only the chosen
+                    # query's logits/boxes are held — holding all Nq for all
+                    # K expressions of a long DAVIS video would multiply
+                    # peak host RAM by Nq*K
+                    q = int(scores.mean(0).argmax())
+                    logits = logits[:, q : q + 1]
+                    boxes = boxes[:, q : q + 1]
+                ascores.append(scores)
+                alogits.append(logits)
+                aboxes.append(boxes)
+
+        # depth-1 pipeline: chunk i+1 is preprocessed on the host and
+        # dispatched to the device BEFORE chunk i's outputs are fetched, so
+        # the host round-trip and the next chunk's preprocessing hide behind
+        # device compute (jax async dispatch). Measured +16% steady-state
+        # throughput through the tunneled runtime (bench.py pipelined vs
+        # sync_per_call); at most two chunks' outputs live on device.
+        pending = []
         for start in range(0, T_total, chunk):
             clip = frames[start : start + chunk]
             t = clip.shape[0]
@@ -172,21 +199,11 @@ class InferenceEngine:
                 feats = run_bb(self.params, pixels, pad)
                 outs = [run_head(self.params, feats, pad, ids, msk)
                         for ids, msk in toks]
-            for (sc, lg, bx), (ascores, alogits, aboxes) in zip(outs, per):
-                scores = np.asarray(sc[:t])  # (t, Nq)
-                logits = np.asarray(lg[:t]).astype(np.float32)
-                boxes = np.asarray(bx[:t]).astype(np.float32)
-                if trajectory == "chunk":
-                    # per-chunk selection happens NOW, so only the chosen
-                    # query's logits/boxes are held — holding all Nq for all
-                    # K expressions of a long DAVIS video would multiply
-                    # peak host RAM by Nq*K
-                    q = int(scores.mean(0).argmax())
-                    logits = logits[:, q : q + 1]
-                    boxes = boxes[:, q : q + 1]
-                ascores.append(scores)
-                alogits.append(logits)
-                aboxes.append(boxes)
+            pending.append((outs, t))
+            if len(pending) > 1:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
 
         return [
             self._finish_video(
