@@ -23,17 +23,12 @@ def load_params(config, model, sample_args):
     params = jax.jit(model.init)(jax.random.PRNGKey(0), *sample_args)
     ckpt = config.get("checkpoint_path")
     if ckpt:
-        if str(ckpt).endswith((".pth", ".pth.tar", ".pt")):
-            from ..training.checkpoint import load_pretrained_into_params
+        from ..training.checkpoint import load_params_from_path
 
-            params, report = load_pretrained_into_params(ckpt, params)
-            print(f"loaded torch ckpt: {len(report['missing'])} missing, "
+        params, report = load_params_from_path(ckpt, params)
+        if report["missing"] or report["unused"]:
+            print(f"loaded {ckpt}: {len(report['missing'])} missing, "
                   f"{len(report['unused'])} unused keys")
-        else:
-            import orbax.checkpoint as ocp
-
-            restored = ocp.StandardCheckpointer().restore(ckpt)
-            params = restored["params"] if "params" in restored else restored
     return params
 
 

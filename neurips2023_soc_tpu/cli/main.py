@@ -179,7 +179,10 @@ def main():
     trainer.evaluate_fn = build_evaluator(config, tokenizer, trainer.model)
     if args.running_mode == "resume_train":
         first = next(iter(trainer.train_batches(0)))
-        trainer.load_checkpoint(sample_batch=first)
+        # reference main.py:26 resumes from the EXPLICIT config.checkpoint_path;
+        # without one we fall back to the latest epoch under output_dir
+        trainer.load_checkpoint(sample_batch=first,
+                                path=config.get("checkpoint_path") or None)
         trainer.train()
     elif args.running_mode == "train":
         trainer.train()
@@ -190,7 +193,9 @@ def main():
                 "(is the valid split on disk?)")
         first = next(iter(trainer.train_batches(0)))
         if config.get("checkpoint_path"):
-            trainer.load_checkpoint(sample_batch=first)
+            # reference main.py:29-35: -rm test loads config.checkpoint_path
+            # as model weights (strict), not the trainer's own history
+            trainer.load_weights(config.checkpoint_path, sample_batch=first)
         elif trainer._state is None:
             trainer.init_state(first)
         metrics = trainer.evaluate_fn(trainer._forward, trainer._state.params, 0)
@@ -207,7 +212,7 @@ def main():
         val = build_a2d_style_val_dataset(config)
         first = next(iter(trainer.train_batches(0)))
         if config.get("checkpoint_path"):
-            trainer.load_checkpoint(sample_batch=first)
+            trainer.load_weights(config.checkpoint_path, sample_batch=first)
         elif trainer._state is None:
             trainer.init_state(first)
         out_dir = (config.get("output_dir") or "outputs") + "/visualize"

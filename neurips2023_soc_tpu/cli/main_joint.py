@@ -58,7 +58,8 @@ def main():
         trainer.evaluate_fn = build_ytvos_evaluator(trainer.model, config)
     if args.running_mode == "resume_train":
         first = next(iter(trainer.train_batches(0)))
-        trainer.load_checkpoint(sample_batch=first)
+        trainer.load_checkpoint(sample_batch=first,
+                                path=config.get("checkpoint_path") or None)
     trainer.train()
 
 

@@ -88,14 +88,15 @@ def main():
     )
     if args.running_mode == "resume_train":
         first = next(iter(trainer.train_batches(0)))
-        trainer.load_checkpoint(sample_batch=first)
+        trainer.load_checkpoint(sample_batch=first,
+                                path=config.get("checkpoint_path") or None)
         trainer.train()
     elif args.running_mode == "test":
         assert trainer.evaluate_fn is not None, \
             "no RefCOCO val annotations found — nothing to evaluate"
         first = next(iter(trainer.train_batches(0)))
         if config.get("checkpoint_path"):
-            trainer.load_checkpoint(sample_batch=first)
+            trainer.load_weights(config.checkpoint_path, sample_batch=first)
         else:
             trainer.init_state(first)
         metrics = trainer.evaluate_fn(trainer._forward, trainer._state.params, 0)

@@ -446,7 +446,6 @@ def evaluate_refer_youtube_vos(
             groups = [[i] for i in range(len(dataset))]
     can_batch = hasattr(dataset, "get_text") and hasattr(dataset, "exp_id")
 
-    preds = []
     # decode the next video on the host while the chip runs this one
     samples = prefetch((dataset[g[0]] for g in groups), buffer_size=2)
     for g in groups:
@@ -468,6 +467,7 @@ def evaluate_refer_youtube_vos(
             original_size=meta0["original_frame_size"],
             return_boxes=visualize_dir is not None,
         )
+        preds = []
         for meta, r in zip(metas, results):
             if visualize_dir is not None:
                 masks, boxes = r
@@ -476,7 +476,11 @@ def evaluate_refer_youtube_vos(
             else:
                 masks = r
             preds.append({**meta, "pred_masks": masks})
-    save_ytvos_predictions(preds, output_dir)
+        # write THIS video's PNGs immediately (reference infer_refytb.py
+        # writes per expression, :230-277): holding the whole split's
+        # original-size masks in host RAM would be tens of GB on the real
+        # 202-video corpus
+        save_ytvos_predictions(preds, output_dir)
     out = {"predictions_dir": output_dir}
     if make_zip:
         barrier("ytvos_submission_pngs")  # all hosts done writing

@@ -94,6 +94,28 @@ def load_pretrained_into_params(path: str, params, drop_class_embed: bool = Fals
     return convert_torch_state_dict(sd, params)
 
 
+def load_params_from_path(path: str, params, drop_class_embed: bool = False):
+    """Model weights from an EXPLICIT checkpoint path — either a torch zoo
+    `.pth.tar` (reference main.py:29-35 loads config.checkpoint_path) or an
+    orbax checkpoint dir saved by CheckpointManager. Returns
+    (params, {'missing': [...], 'unused': [...]})."""
+    p = str(path)
+    if p.endswith((".pth", ".pth.tar", ".pt")):
+        return load_pretrained_into_params(
+            p, params, drop_class_embed=drop_class_embed)
+    d = Path(p)
+    if d.is_dir() and not d.name.startswith("epoch_") and list(d.glob("epoch_*")):
+        # a CheckpointManager root: prefer the best epoch, else the latest
+        # (the orbax analog of the reference zoo's best.pth.tar pointer)
+        mgr = CheckpointManager(d)
+        epoch = mgr.best_epoch()
+        epoch = epoch if epoch is not None else mgr.latest_epoch()
+        d = mgr._path(epoch)
+    restored = ocp.StandardCheckpointer().restore(d.absolute())
+    new = restored["params"] if "params" in restored else restored
+    return new, {"missing": [], "unused": []}
+
+
 def save_reference_checkpoint(params, path: str, epoch: int = 0,
                               total_epochs: int = 0, best_map=None,
                               best_loss=None):

@@ -269,24 +269,69 @@ class Trainer:
         extra["best_loss"] = float(self.best_loss)
         self.ckpt.save(self.epoch, state, is_best, extra=extra)
 
-    def load_checkpoint(self, epoch: Optional[int] = None, sample_batch=None):
+    def load_weights(self, path: str, sample_batch=None):
+        """Load MODEL WEIGHTS from an explicit checkpoint_path — torch zoo
+        `.pth.tar` or an orbax checkpoint dir — for `-rm test` / `-rm pred`
+        (reference main.py:28-43 loads config.checkpoint_path strictly;
+        optimizer state is untouched)."""
+        from .checkpoint import load_params_from_path
+
         if self._state is None:
             assert sample_batch is not None
             self.init_state(sample_batch)
-        epoch = epoch if epoch is not None else self.ckpt.latest_epoch()
+        params, report = load_params_from_path(path, self._state.params)
+        if report["missing"] or report["unused"]:
+            print(f"loaded {path}: {len(report['missing'])} missing, "
+                  f"{len(report['unused'])} unused keys")
+        self._state = self._state.replace(params=params)
+
+    def load_checkpoint(self, epoch: Optional[int] = None, sample_batch=None,
+                        path: Optional[str] = None):
+        """Resume training state. With `path` (reference main.py:26
+        `trainer.load_checkpoint(config.checkpoint_path)`): an orbax
+        epoch dir restores params/opt_state/step + best tracking; a torch
+        `.pth.tar` restores weights and the epoch/best metadata it carries
+        (the torch optimizer state has no optax equivalent — a note is
+        printed). Without `path`: the latest epoch under output_dir."""
+        if self._state is None:
+            assert sample_batch is not None
+            self.init_state(sample_batch)
+        if path is not None and str(path).endswith((".pth", ".pth.tar", ".pt")):
+            import torch
+
+            self.load_weights(path)
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            self.epoch = int(ckpt.get("epoch", -1)) + 1
+            if "best_mAP" in ckpt:
+                self.best_map = float(ckpt["best_mAP"])
+            if "best_loss" in ckpt:
+                self.best_loss = float(ckpt["best_loss"])
+            print("resumed weights from torch checkpoint; optimizer/schedule "
+                  "state restarts (no optax equivalent of the torch state)")
+            return
+        source = self.ckpt  # new checkpoints keep saving under output_dir
+        if path is not None:
+            p = Path(path)
+            # accept either a specific epoch_NNNN dir or the checkpoints root
+            if p.name.startswith("epoch_"):
+                source = CheckpointManager(p.parent, max_keep=self.ckpt.max_keep)
+                epoch = int(p.name.split("_")[1])
+            else:
+                source = CheckpointManager(p, max_keep=self.ckpt.max_keep)
+        epoch = epoch if epoch is not None else source.latest_epoch()
         assert epoch is not None, "no checkpoint found"
         target = {
             "params": self._state.params,
             "opt_state": self._state.opt_state,
             "step": np.asarray(self._state.step),
         }
-        restored = self.ckpt.restore(epoch, target)
+        restored = source.restore(epoch, target)
         self._state = self._state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=int(restored["step"]),
         )
         self.epoch = epoch + 1
-        meta = self.ckpt.read_meta(epoch)
+        meta = source.read_meta(epoch)
         if meta:  # resume best tracking (reference trainer.py:363-378)
             self.best_map = float(meta.get("best_map", self.best_map))
             self.best_loss = float(meta.get("best_loss", self.best_loss))

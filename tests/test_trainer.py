@@ -132,3 +132,77 @@ def test_mesh_shrink_fails_hard_without_opt_in(tmp_path):
     t = Trainer(cfg.replace(allow_idle_devices=True), lambda e: iter(()),
                 steps_per_epoch=1)
     assert t.mesh.devices.size == 3
+
+
+def test_trainer_resume_from_explicit_path(tmp_path):
+    """resume_train honors an explicit checkpoint path (reference main.py:26
+    `trainer.load_checkpoint(config.checkpoint_path)`) — both an epoch dir
+    and a checkpoints root — while NEW checkpoints keep saving under the
+    current run's output_dir."""
+    run_a = tmp_path / "runA"
+    trainer, _ = make_trainer(run_a, epochs=1)
+    trainer.train()
+    step_after = int(trainer._state.step)
+
+    trainer2, _ = make_trainer(tmp_path / "runB", epochs=2)
+    first = next(iter(trainer2.train_batches(0)))
+    trainer2.load_checkpoint(sample_batch=first,
+                             path=str(run_a / "checkpoints" / "epoch_0000"))
+    assert trainer2.epoch == 1
+    assert int(trainer2._state.step) == step_after
+
+    trainer3, _ = make_trainer(tmp_path / "runC", epochs=2)
+    first = next(iter(trainer3.train_batches(0)))
+    trainer3.load_checkpoint(sample_batch=first,
+                             path=str(run_a / "checkpoints"))
+    assert int(trainer3._state.step) == step_after
+    assert trainer3.ckpt.dir == tmp_path / "runC" / "checkpoints"
+
+
+def test_load_weights_and_torch_resume(tmp_path):
+    """-rm test/pred load checkpoint_path as MODEL WEIGHTS (reference
+    main.py:29-43), including the torch zoo .pth.tar format; resume_train
+    from a torch file restores the epoch/best metadata it carries."""
+    import jax
+
+    from neurips2023_soc_tpu.training.checkpoint import (
+        save_reference_checkpoint,
+    )
+
+    trainer, _ = make_trainer(tmp_path / "a", epochs=1)
+    first = next(iter(trainer.train_batches(0)))
+    trainer.init_state(first)
+    pth = str(tmp_path / "ref.pth.tar")
+    save_reference_checkpoint(trainer._state.params, pth, epoch=3,
+                              best_loss=1.5)
+
+    trainer2, _ = make_trainer(tmp_path / "b", epochs=1)
+    trainer2.load_weights(pth, sample_batch=first)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer._state.params),
+                    jax.tree_util.tree_leaves(trainer2._state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    trainer3, _ = make_trainer(tmp_path / "c", epochs=5)
+    trainer3.load_checkpoint(sample_batch=first, path=pth)
+    assert trainer3.epoch == 4
+    assert trainer3.best_loss == 1.5
+    for a, b in zip(jax.tree_util.tree_leaves(trainer._state.params),
+                    jax.tree_util.tree_leaves(trainer3._state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_params_from_checkpoints_root(tmp_path):
+    """An infer CLI pointed at a CheckpointManager ROOT resolves to the best
+    (else latest) epoch — the orbax analog of the zoo's best.pth.tar."""
+    import jax
+
+    from neurips2023_soc_tpu.training.checkpoint import load_params_from_path
+
+    trainer, _ = make_trainer(tmp_path, epochs=1)
+    trainer.train()
+    params, report = load_params_from_path(str(tmp_path / "checkpoints"),
+                                           trainer._state.params)
+    assert report == {"missing": [], "unused": []}
+    for a, b in zip(jax.tree_util.tree_leaves(trainer._state.params),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
