@@ -1,16 +1,33 @@
 """Benchmark: Ref-YTVOS-style whole-clip referring inference throughput on one
 TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} for the
-NORTH-STAR config — Video-Swin-B whole-video inference (BASELINE.json targets
-"Ref-YouTube-VOS valid inference ... Video-Swin-B") — plus a "secondary"
-field carrying the Video-Swin-T number tracked since round 1 (BENCH_r01/r02
-recorded swin-t; the primary metric changed to swin-b per VERDICT r2 weak #3).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} whose
+HEADLINE metric is the SHIPPED InferenceEngine's end-to-end throughput
+(host preprocessing + forward + device finalize + mask fetch, via
+`InferenceEngine.infer_videos` depth-1 — the serving path the infer CLIs run)
+on the north-star config: Video-Swin-B, 16-frame 360x640 videos, bf16
+(BASELINE.json "Ref-YouTube-VOS valid inference ... Video-Swin-B").
+VERDICT r3 weak #1: rounds 1-3 benchmarked a fused proxy program instead;
+the proxy number is still reported for continuity ("proxy_*" fields), and
+BENCH_NOTES.md records the protocols.
+
+Also carried in the JSON line:
+  * sync (one-video-at-a-time) engine fps — the latency protocol; both
+    vs_baseline ratios are reported (VERDICT r3 weak #2)
+  * secondary: Video-Swin-T engine+proxy numbers (tracked since r1)
+  * multi_expression: 8-expressions-per-video engine throughput and its
+    speedup over 8 single-expression passes (the split backbone/head path
+    the reference cannot have — reference infer_davis.py re-runs the full
+    model per expression)
+  * train: swin-t AND swin-b train-step seconds (T=8, 360x640, bs=1/chip)
+    with a provisional A100 denominator (VERDICT r3 "do this" #3)
 
 `vs_baseline` divides by the PROVISIONAL spec-derived A100 estimate of the
 reference torch pipeline recorded in baseline_fps.json (the repo publishes no
 fps numbers and no GPU exists here — see that file + BENCH_NOTES.md for the
-derivation and error bars; it is an estimate, not a measurement).
+derivation and error bars; it is an estimate, not a measurement). A measured
+`ytvos_infer_fps_<backbone>` key in baseline_fps.json overrides it (see
+BASELINE.md's obligations ledger).
 """
 import json
 import os
@@ -19,17 +36,13 @@ import time
 import numpy as np
 
 
-def measure(backbone: str, T: int, dtype_name: str, iters: int) -> dict:
-    import jax
+def build_model(backbone: str, dtype_name: str):
     import jax.numpy as jnp
 
     from neurips2023_soc_tpu.models.soc import SOC
 
-    H, W = 360, 640  # Ref-YTVOS eval resolution (360 short side / 640 max)
-    S = 16
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-
-    model = SOC(
+    return SOC(
         backbone_name=backbone, d_model=256, num_queries=20,
         dim_feedforward=2048, enc_layers=3, dec_layers=3,
         voc_enc_layers=3, voc_dec_layers=3, text_encoder_type="roberta-base",
@@ -38,13 +51,31 @@ def measure(backbone: str, T: int, dtype_name: str, iters: int) -> dict:
         dtype=dtype,
     )
 
+
+def init_params(model, T, H, W, S):
+    import jax
+
     rng = np.random.RandomState(0)
     pixels = rng.randn(T, 1, H, W, 3).astype(np.float32)
     pad = np.zeros((T, 1, H, W), bool)
     ids = rng.randint(3, 1000, size=(1, S)).astype(np.int32)
     msk = np.ones((1, S), np.int32)
+    return jax.jit(model.init)(jax.random.PRNGKey(0), pixels, pad, ids, msk)
 
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), pixels, pad, ids, msk)
+
+def measure_proxy(model, params, T: int, iters: int) -> dict:
+    """Rounds 1-3 protocol: fused forward + in-graph trajectory selection +
+    scalar checksum fetch. Upper bound on any end-to-end number; kept for
+    cross-round continuity."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W, S = 360, 640, 16
+    rng = np.random.RandomState(0)
+    pixels = rng.randn(T, 1, H, W, 3).astype(np.float32)
+    pad = np.zeros((T, 1, H, W), bool)
+    ids = rng.randint(3, 1000, size=(1, S)).astype(np.int32)
+    msk = np.ones((1, S), np.int32)
 
     @jax.jit
     def forward(params, pixels, pad, ids, msk):
@@ -79,16 +110,10 @@ def measure(backbone: str, T: int, dtype_name: str, iters: int) -> dict:
         float(forward(params, px_d + np.float32(i + 1), pad_d, ids_d, msk_d))
         times.append(time.perf_counter() - t0)
     # median per-iteration time: robust to transient host-load spikes
-    # (observed ±6% drift) without rewarding a single lucky iteration
     sync_fps = T / float(np.median(times))
 
     # steady-state (pipelined) throughput: dispatch clip i+1 before fetching
-    # clip i's checksum, hiding the host<->device round-trip behind device
-    # compute — exactly what InferenceEngine's pipelined video loop does in
-    # serving. EVERY iteration's checksum is still fetched (the runtime
-    # memoizes identical executions and block_until_ready does not imply
-    # completion, so only the host fetch forces real work); depth 1 keeps at
-    # most two clips in flight. Median over 3 rounds of `iters` clips.
+    # clip i's checksum (depth 1). Median over 3 rounds of `iters` clips.
     rounds = []
     seq = 1000
     for _ in range(3):
@@ -107,10 +132,129 @@ def measure(backbone: str, T: int, dtype_name: str, iters: int) -> dict:
     return {"pipelined": pipe_fps, "sync_per_call": sync_fps}
 
 
+def measure_engine(model, params, T: int, n_videos: int,
+                   expressions: int = 1) -> dict:
+    """The SHIPPED path: InferenceEngine end-to-end over synthetic 360x640
+    videos, including the host tail (padding copy, score fetch, device
+    finalize, uint8 mask fetch). Every video's pixels differ (defeats the
+    runtime's execution memoization); every mask tensor is fetched.
+
+    Returns frames/sec for the depth-1 pipelined `infer_videos` loop (the
+    serving protocol the CLIs use) and for the sync one-video-at-a-time
+    loop. With expressions>1, each video runs `expressions` texts through
+    the split backbone/head path and fps counts frames x expressions."""
+    from neurips2023_soc_tpu.inference import InferenceEngine
+
+    H, W = 360, 640
+    texts = [f"expression number {k} describing the object"
+             for k in range(expressions)]
+    engine = InferenceEngine(
+        model, params, text_encoder_type="roberta-base", text_bucket=32,
+        time_buckets=(T,), size_buckets=((H, W),),
+    )
+    rng = np.random.RandomState(42)
+    base = rng.randn(T, H, W, 3).astype(np.float32)
+
+    def make_items(seed0, n):
+        for i in range(n):
+            yield dict(frames=base + np.float32(seed0 + i),
+                       texts=texts, original_size=(H, W))
+
+    # compile + two perturbed warm videos (first post-compile execution can
+    # be 3-5x slow on the tunneled runtime)
+    for _ in engine.infer_videos(make_items(10_000, 2), depth=1):
+        pass
+
+    # sync protocol: one video fully finished before the next starts
+    times = []
+    for i, item in enumerate(make_items(20_000, max(3, n_videos // 2))):
+        t0 = time.perf_counter()
+        res = engine.infer_video_multi(**item)
+        assert res[0].shape == (T, H, W)
+        times.append(time.perf_counter() - t0)
+    sync_fps = T * expressions / float(np.median(times))
+
+    # pipelined depth-1 protocol (the CLI serving loop)
+    rounds = []
+    seq = 30_000
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for res in engine.infer_videos(make_items(seq, n_videos), depth=1):
+            assert res[0].dtype == np.uint8
+        rounds.append((time.perf_counter() - t0) / n_videos)
+        seq += n_videos
+    pipe_fps = T * expressions / float(np.median(rounds))
+    return {"pipelined": pipe_fps, "sync_per_call": sync_fps}
+
+
+def measure_train(backbone: str, iters: int) -> float:
+    """Train-step seconds at the YTVOS finetune shape (T=8, B=1/chip,
+    360x640, bf16 compute, f32 params) — reference README.md:167-172's
+    flagship finetune config when backbone='video-swin-b'."""
+    import jax
+    import jax.numpy as jnp
+
+    from neurips2023_soc_tpu.losses import CriterionConfig
+    from neurips2023_soc_tpu.models.soc import SOC
+    from neurips2023_soc_tpu.training.optim import build_optimizer
+    from neurips2023_soc_tpu.training.train_step import TrainState, make_train_step
+
+    T, B, H, W, S = 8, 1, 360, 640, 16
+    model = SOC(
+        backbone_name=backbone, d_model=256, num_queries=20,
+        dim_feedforward=2048, enc_layers=3, dec_layers=3,
+        voc_enc_layers=3, voc_dec_layers=3,
+        text_encoder_type="roberta-base", dtype=jnp.bfloat16,
+        msda_impl=os.environ.get("BENCH_MSDA", "auto"),
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "pixels": rng.randn(T, B, H, W, 3).astype(np.float32),
+        "pad_mask": np.zeros((T, B, H, W), bool),
+        "text_ids": rng.randint(3, 1000, (B, S)).astype(np.int32),
+        "text_mask": np.ones((B, S), np.int32),
+        "sample_sizes": np.tile(np.array([H, W], np.float32), (B, 1)),
+        "masks": np.zeros((T, B, 1, H, W), np.float32),
+        "boxes": np.tile(np.array([0.5, 0.5, 0.3, 0.3], np.float32), (T, B, 1, 1)),
+        "labels": np.zeros((B, 1), np.int32),
+        "inst_valid": np.ones((B, 1), bool),
+        "is_ref_inst_visible": np.ones((T, B, 1), bool),
+        "referred_instance_idx": np.zeros((B,), np.int32),
+    }
+    batch["masks"][:, :, :, 100:260, 200:440] = 1.0
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch["pixels"], batch["pad_mask"],
+        batch["text_ids"], batch["text_mask"],
+    )
+    tx = build_optimizer(params, lr=1e-4, lr_backbone=1e-5, text_encoder_lr=5e-6)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_train_step(model, CriterionConfig())
+
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    _ = float(m["loss"])  # compile + warm
+    b = dict(batch)
+    b["pixels"] = batch["pixels"] + np.float32(0.5) * 1e-3
+    state, m = step(state, b, jax.random.PRNGKey(999))
+    _ = float(m["loss"])  # perturbed warm step (post-compile slow call)
+
+    times = []
+    for i in range(iters):
+        b = dict(batch)
+        b["pixels"] = batch["pixels"] + np.float32(i + 1) * 1e-3
+        t0 = time.perf_counter()
+        state, m = step(state, b, jax.random.PRNGKey(i + 1))
+        _ = float(m["loss"])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def main():
     T = int(os.environ.get("BENCH_FRAMES", 16))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     iters = int(os.environ.get("BENCH_ITERS", 10))
+    n_videos = int(os.environ.get("BENCH_VIDEOS", 8))
 
     baselines = {}
     try:
@@ -123,12 +267,23 @@ def main():
     # BENCH_BACKBONE overrides run a single backbone (A/B kernel work);
     # the default driver run measures the north-star swin-b + tracked swin-t
     only = os.environ.get("BENCH_BACKBONE")
+    backbones = [only] if only else ["video-swin-b", "video-swin-t"]
     results = {}
-    for backbone in ([only] if only else ["video-swin-b", "video-swin-t"]):
-        results[backbone] = measure(backbone, T, dtype_name, iters)
+    for backbone in backbones:
+        model = build_model(backbone, dtype_name)
+        params = init_params(model, T, 360, 640, 16)
+        r = {"engine": measure_engine(model, params, T, n_videos)}
+        if os.environ.get("BENCH_SKIP_PROXY") != "1":
+            r["proxy"] = measure_proxy(model, params, T, iters)
+        if backbone == backbones[0] and os.environ.get("BENCH_SKIP_MULTI") != "1":
+            r["multi8"] = measure_engine(model, params, T,
+                                         max(3, n_videos // 2), expressions=8)
+        results[backbone] = r
+        del model, params
 
     primary = only or "video-swin-b"
-    fps = results[primary]["pipelined"]
+    res = results[primary]
+    fps = res["engine"]["pipelined"]
     base_key = ("ytvos_infer_fps_a100_provisional_swin_b"
                 if "swin-b" in primary else
                 "ytvos_infer_fps_a100_provisional_swin_t")
@@ -138,17 +293,32 @@ def main():
         baselines.get("ytvos_infer_fps") if "swin-t" in primary else None)
     base = measured or baselines.get(base_key)
     record = {
-        "metric": f"ytvos_whole_clip_infer_fps_{primary}_{T}f_360x640_{dtype_name}",
+        "metric": f"ytvos_engine_infer_fps_{primary}_{T}f_360x640_{dtype_name}",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / base, 3) if base else None,
-        # pipelined = steady-state serving throughput (clip i+1 dispatched
-        # before clip i's fetch, every result fetched — the engine's
-        # pipeline_videos path); sync = one-clip-at-a-time latency protocol
-        # used for BENCH_r01/r02 numbers, includes the full host round-trip
-        "protocol": "pipelined_depth1_median_of_3_rounds",
-        "sync_per_call_fps": round(results[primary]["sync_per_call"], 3),
+        # the SHIPPED InferenceEngine end-to-end (incl. host tail), depth-1
+        # pipelined serving loop; sync = one-video-at-a-time latency
+        "protocol": "InferenceEngine.infer_videos_depth1_median",
+        "engine_sync_fps": round(res["engine"]["sync_per_call"], 3),
+        "vs_baseline_sync": (round(res["engine"]["sync_per_call"] / base, 3)
+                             if base else None),
     }
+    if "proxy" in res:
+        record["proxy_pipelined_fps"] = round(res["proxy"]["pipelined"], 3)
+        record["proxy_sync_fps"] = round(res["proxy"]["sync_per_call"], 3)
+        record["engine_vs_proxy"] = round(
+            fps / res["proxy"]["pipelined"], 3)
+    if "multi8" in res:
+        m8 = res["multi8"]
+        record["multi_expression"] = {
+            "expressions_per_video": 8,
+            "pipelined_expression_frames_per_sec": round(m8["pipelined"], 3),
+            # speedup over running 8 single-expression videos: the split
+            # backbone/head path runs the backbone once per video
+            "speedup_vs_8_single_passes": round(
+                m8["pipelined"] / res["engine"]["pipelined"], 3),
+        }
     if base and not measured and baselines.get("provisional"):
         record["baseline_provenance"] = (
             f"PROVISIONAL spec-derived A100 estimate ({base} fps, "
@@ -156,10 +326,33 @@ def main():
     secondary = {b: v for b, v in results.items() if b != primary}
     if secondary:
         record["secondary"] = {
-            f"ytvos_whole_clip_infer_fps_{b}_{T}f_360x640_{dtype_name}":
-                {"pipelined": round(v["pipelined"], 3),
-                 "sync_per_call": round(v["sync_per_call"], 3)}
+            f"ytvos_engine_infer_fps_{b}_{T}f_360x640_{dtype_name}":
+                {"engine_pipelined": round(v["engine"]["pipelined"], 3),
+                 "engine_sync": round(v["engine"]["sync_per_call"], 3),
+                 **({"proxy_pipelined": round(v["proxy"]["pipelined"], 3),
+                     "proxy_sync": round(v["proxy"]["sync_per_call"], 3)}
+                    if "proxy" in v else {})}
             for b, v in secondary.items()}
+
+    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        train_iters = int(os.environ.get("BENCH_TRAIN_ITERS", 3))
+        train = {}
+        for backbone in backbones:
+            key = "swin_b" if "swin-b" in backbone else "swin_t"
+            try:
+                train[f"train_step_s_{key}"] = round(
+                    measure_train(backbone, train_iters), 4)
+            except Exception as e:  # never lose the inference metric
+                train[f"train_step_s_{key}"] = f"error: {e}"
+        tbase = baselines.get("ytvos_train_step_s_a100_provisional_swin_b")
+        if tbase and isinstance(train.get("train_step_s_swin_b"), float):
+            train["train_vs_baseline_swin_b"] = round(
+                tbase / train["train_step_s_swin_b"], 3)
+            train["train_baseline_provenance"] = (
+                f"PROVISIONAL spec-derived A100 estimate ({tbase} s/step) — "
+                "not a measurement")
+        record["train"] = train
+
     print(json.dumps(record))
 
 

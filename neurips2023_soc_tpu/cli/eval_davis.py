@@ -42,6 +42,9 @@ def main():
     with open(seq_file) as f:
         sequences = f.read().splitlines()
 
+    g_measures = ["J&F-Mean", "J-Mean", "J-Recall", "J-Decay",
+                  "F-Mean", "F-Recall", "F-Decay"]
+
     t0 = time.time()
     global_rows = []
     for anno_id in range(4):
@@ -55,9 +58,27 @@ def main():
             res_dir = path.join(args.results_path, f"anno_{anno_id}", seq)
             res = _split_objects(_load_index_masks(res_dir, frames))
             seqs[seq] = (gt, res)
-        out = evaluate_sequences(seqs, task="unsupervised")["global"]
+        result = evaluate_sequences(seqs, task="unsupervised")
+        out = result["global"]
         print(f"anno_{anno_id}: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
         global_rows.append({"annotator": anno_id, **out})
+
+        # reference-schema CSVs per annotator results dir
+        # (reference eval_davis.py:24-29,40-60): global_results-<set>.csv with
+        # one row of the 7 measures; per-sequence_results-<set>.csv with
+        # Sequence,J-Mean,F-Mean rows keyed "<seq>_<obj_idx>"
+        anno_dir = Path(args.results_path) / f"anno_{anno_id}"
+        with open(anno_dir / f"global_results-{args.set}.csv", "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(g_measures)
+            w.writerow([f"{out[k]:.5f}" for k in g_measures])
+        with open(anno_dir / f"per-sequence_results-{args.set}.csv", "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["Sequence", "J-Mean", "F-Mean"])
+            for name, (jm, fm) in result["per_object"].items():
+                w.writerow([name, f"{jm:.5f}", f"{fm:.5f}"])
 
     mean = {k: float(np.mean([r[k] for r in global_rows]))
             for k in global_rows[0] if k != "annotator"}

@@ -47,11 +47,24 @@ def main():
         np.ones((1, config.get("text_bucket", 32)), np.int32),
     )
     params = load_params(config, model, sample)
-    engine = InferenceEngine(
-        model, params, text_encoder_type=config.text_encoder_type,
+    engine_kwargs = dict(
+        text_encoder_type=config.text_encoder_type,
         text_bucket=config.get("text_bucket", 32),
         time_buckets=config.get("time_buckets"),
     )
+    import jax
+
+    n_local = len(jax.local_devices())
+    pool = None
+    if n_local > 1:
+        # single-process multi-chip: engines pinned per local device (the
+        # reference's one-process-per-GPU split, infer_davis.py:86-111)
+        from ..inference import EnginePool
+
+        pool = EnginePool(model, params, **engine_kwargs)
+        engine = pool.engines[0]
+    else:
+        engine = InferenceEngine(model, params, **engine_kwargs)
     out_root = Path(config.get("output_dir") or "outputs/davis_valid")
 
     # group expressions by video; 4 annotators x num_obj expressions each
@@ -76,18 +89,18 @@ def main():
     for video_id, idxs in by_video.items():
         idxs = sorted(idxs, key=lambda i: int(dataset.samples_list[i][2]["exp_id"]))
         videos.append((video_id, group_davis_annotator_order(idxs)))
-    # decode the next video's frames while the chip runs this one; frames
-    # decode ONCE per video — all expressions share them, and
-    # infer_video_multi runs the backbone once per chunk for all of them
-    samples = prefetch((dataset[order[0]] for _, order in videos),
-                       buffer_size=2)
-    for video_id, order in videos:
+
+    def process_video(eng, work):
+        """One video end-to-end on one engine: decode (unless prefetched),
+        infer all expressions, merge + write all four annotators' PNGs."""
+        video_id, order, s = work
         num_obj = len(order) // 4
-        s = next(samples)
+        if s is None:
+            s = dataset[order[0]]
         meta = s["video_metadata"]
         frame_names = meta["frame_indices"]
         texts = [dataset.get_text(i) for i in order]
-        all_probs = engine.infer_video_multi(
+        all_probs = eng.infer_video_multi(
             s["frames"], texts,
             original_size=meta["original_frame_size"],
             return_probs=True,
@@ -125,6 +138,19 @@ def main():
                         vis_add_index_mask(raw_frames[t], merged[t])
                     ).save(vd / f"{name}.png")
         print(f"{video_id}: done ({time.time() - t0:.1f}s elapsed)")
+
+    if pool is not None:
+        # one engine per chip; each worker decodes its own frames
+        pool.map_videos([(vid, order, None) for vid, order in videos],
+                        process_video)
+    else:
+        # decode the next video's frames while the chip runs this one;
+        # frames decode ONCE per video — all expressions share them, and
+        # infer_video_multi runs the backbone once per chunk for all of them
+        samples = prefetch((dataset[order[0]] for _, order in videos),
+                           buffer_size=2)
+        for video_id, order in videos:
+            process_video(engine, (video_id, order, next(samples)))
 
 
 if __name__ == "__main__":

@@ -62,20 +62,28 @@ def main():
         np.ones((1, config.get("text_bucket", 32)), np.int32),
     )
     params = load_params(config, model, sample)
-    engine = InferenceEngine(
-        model, params, text_encoder_type=config.text_encoder_type,
+    engine_kwargs = dict(
+        text_encoder_type=config.text_encoder_type,
         text_bucket=config.get("text_bucket", 32),
         time_buckets=config.get("time_buckets"),
         size_buckets=size_buckets,
     )
+    n_local = len(jax.local_devices())
+    if n_local > 1:
+        # single-process multi-chip: engines pinned per local device so all
+        # chips of the host stay busy (the reference's one-process-per-GPU
+        # split, infer_refytb.py:84-109); EnginePool fans videos over threads
+        from ..inference import EnginePool
+
+        engine = EnginePool(model, params, **engine_kwargs)
+    else:
+        engine = InferenceEngine(model, params, **engine_kwargs)
     out_dir = config.get("output_dir") or "outputs/ytvos_valid"
     t0 = time.time()
     # per-host VIDEO-group sharding (replaces the reference's mp.Process
     # split); every group's expressions stay on one host so the shared
     # backbone stage runs once per group
     groups = list(dataset.video_groups().values())
-    import jax
-
     if jax.process_count() > 1:
         groups = shard_videos(groups)
     vis_kwargs = {}

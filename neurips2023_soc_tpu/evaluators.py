@@ -446,10 +446,13 @@ def evaluate_refer_youtube_vos(
             groups = [[i] for i in range(len(dataset))]
     can_batch = hasattr(dataset, "get_text") and hasattr(dataset, "exp_id")
 
-    # decode the next video on the host while the chip runs this one
-    samples = prefetch((dataset[g[0]] for g in groups), buffer_size=2)
-    for g in groups:
-        s = next(samples)
+    def process_group(eng, g, s=None):
+        """Decode (unless prefetched) + infer + write THIS video's PNGs
+        immediately (reference infer_refytb.py writes per expression,
+        :230-277): holding the whole split's original-size masks in host RAM
+        would be tens of GB on the real 202-video corpus."""
+        if s is None:
+            s = dataset[g[0]]
         meta0 = s["video_metadata"]
         if can_batch:
             texts = [dataset.get_text(i) for i in g]
@@ -462,7 +465,7 @@ def evaluate_refer_youtube_vos(
                     f"{type(dataset).__name__})")
             texts = [s["text"]]
             metas = [meta0]
-        results = engine.infer_video_multi(
+        results = eng.infer_video_multi(
             s["frames"], texts,
             original_size=meta0["original_frame_size"],
             return_boxes=visualize_dir is not None,
@@ -476,11 +479,20 @@ def evaluate_refer_youtube_vos(
             else:
                 masks = r
             preds.append({**meta, "pred_masks": masks})
-        # write THIS video's PNGs immediately (reference infer_refytb.py
-        # writes per expression, :230-277): holding the whole split's
-        # original-size masks in host RAM would be tens of GB on the real
-        # 202-video corpus
         save_ytvos_predictions(preds, output_dir)
+
+    from .inference import EnginePool
+
+    if isinstance(engine, EnginePool):
+        # single-process multi-chip: one engine per local device, groups
+        # fanned out over threads — every chip of the host stays busy (the
+        # reference's one-worker-per-GPU split, infer_refytb.py:84-109)
+        engine.map_videos(groups, process_group)
+    else:
+        # decode the next video on the host while the chip runs this one
+        samples = prefetch((dataset[g[0]] for g in groups), buffer_size=2)
+        for g in groups:
+            process_group(engine, g, next(samples))
     out = {"predictions_dir": output_dir}
     if make_zip:
         barrier("ytvos_submission_pngs")  # all hosts done writing

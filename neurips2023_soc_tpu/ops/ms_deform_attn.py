@@ -7,14 +7,24 @@ of `L` flattened feature levels at `sampling_locations` (normalized [0,1] xy,
 zero padding outside, grid_sample align_corners=False convention) and reduce
 with softmaxed `attention_weights`.
 
-Implementation: patch-table flat gathers (see ms_deform_attn_xla docstring) —
-TPU gathers are row-rate-bound, so each sample reads ONE (4*D)-wide row
-holding its whole 2x2 bilinear neighborhood. Gradients come from autodiff
-(the value gradient lowers to scatter-add), with `jax.checkpoint` so the
-multi-GB gathered tensor is recomputed instead of saved. The in-VMEM Pallas
-kernel (ops/pallas_msda.py, impl='pallas') is the single-TPU-chip default via
-impl='auto' (+25% end-to-end, BENCH_NOTES.md); this XLA path remains the
-oracle, the CPU/multi-chip implementation, and the backward (custom_vjp).
+Two implementations behind one API:
+
+* `impl='pallas'` (ops/pallas_msda.py) — the TPU default for BOTH forward and
+  backward: an in-VMEM forward kernel (tile-major query permutation, bf16
+  int32-packed patch table) plus a backward kernel that replaces the
+  reference's six CUDA col2im variants with a one-hot MXU matmul scatter.
+  It is SPMD-partitionable (`jax.custom_partitioning` over batch/query) and
+  therefore serves single-chip inference AND sharded training.
+* this module's XLA path (`impl='xla'`) — patch-table flat gathers (see
+  ms_deform_attn_xla docstring; TPU gathers are row-rate-bound, so each
+  sample reads ONE (4*D)-wide row holding its whole 2x2 bilinear
+  neighborhood), gradients from autodiff (the value gradient lowers to
+  scatter-add) under `jax.checkpoint`. It remains the numerical oracle for
+  kernel tests and the CPU implementation.
+
+`impl='auto'` (the model default) picks Pallas on TPU except for
+sparse-query calls (the decoder's Nq=20 queries over ~15k value rows), which
+measure faster on the XLA gather path (12.2 vs 2.1 ms — BENCH_NOTES.md).
 
 Shapes (channels-last, head-major):
   value:               (B, S, M, D)   S = sum(H_l*W_l)

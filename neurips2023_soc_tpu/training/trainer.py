@@ -269,20 +269,34 @@ class Trainer:
         extra["best_loss"] = float(self.best_loss)
         self.ckpt.save(self.epoch, state, is_best, extra=extra)
 
-    def load_weights(self, path: str, sample_batch=None):
+    def load_weights(self, path: str, sample_batch=None, strict: bool = True,
+                     _loaded_ckpt=None):
         """Load MODEL WEIGHTS from an explicit checkpoint_path — torch zoo
         `.pth.tar` or an orbax checkpoint dir — for `-rm test` / `-rm pred`
-        (reference main.py:28-43 loads config.checkpoint_path strictly;
-        optimizer state is untouched)."""
+        (reference main.py:28-43 loads config.checkpoint_path STRICTLY via
+        load_state_dict(strict=True); optimizer state is untouched).
+
+        strict=True raises when the checkpoint is missing any model
+        parameter — an incompatible checkpoint must never silently evaluate
+        with randomly-initialized weights. strict=False matches the
+        reference's inference CLIs (infer_refytb.py:143-156), which print
+        missing/unexpected keys and continue."""
         from .checkpoint import load_params_from_path
 
         if self._state is None:
             assert sample_batch is not None
             self.init_state(sample_batch)
-        params, report = load_params_from_path(path, self._state.params)
+        params, report = load_params_from_path(
+            path, self._state.params, loaded_ckpt=_loaded_ckpt)
         if report["missing"] or report["unused"]:
-            print(f"loaded {path}: {len(report['missing'])} missing, "
-                  f"{len(report['unused'])} unused keys")
+            msg = (f"loaded {path}: {len(report['missing'])} missing, "
+                   f"{len(report['unused'])} unused keys")
+            if strict and report["missing"]:
+                raise ValueError(
+                    msg + "; missing: " + ", ".join(report["missing"][:20])
+                    + (" ..." if len(report["missing"]) > 20 else "")
+                    + " (pass strict=False to load anyway)")
+            print(msg)
         self._state = self._state.replace(params=params)
 
     def load_checkpoint(self, epoch: Optional[int] = None, sample_batch=None,
@@ -299,9 +313,17 @@ class Trainer:
         if path is not None and str(path).endswith((".pth", ".pth.tar", ".pt")):
             import torch
 
-            self.load_weights(path)
+            # ONE torch.load serves both the weight conversion and the
+            # epoch/best metadata (zoo checkpoints are multi-GB)
             ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            self.load_weights(path, _loaded_ckpt=ckpt)
             self.epoch = int(ckpt.get("epoch", -1)) + 1
+            # reference trainer.load_checkpoint restores total_epochs from
+            # the checkpoint when no override is given (trainer.py:365-368);
+            # an explicit config.epochs (always present here) is the override
+            if "total_epochs" in ckpt and not getattr(
+                    self.config, "epochs", None):
+                self.total_epochs = int(ckpt["total_epochs"])
             if "best_mAP" in ckpt:
                 self.best_map = float(ckpt["best_mAP"])
             if "best_loss" in ckpt:
@@ -313,11 +335,14 @@ class Trainer:
         if path is not None:
             p = Path(path)
             # accept either a specific epoch_NNNN dir or the checkpoints root
+            # (create=False: a mistyped path fails instead of mkdir-ing it)
             if p.name.startswith("epoch_"):
-                source = CheckpointManager(p.parent, max_keep=self.ckpt.max_keep)
+                source = CheckpointManager(p.parent, max_keep=self.ckpt.max_keep,
+                                           create=False)
                 epoch = int(p.name.split("_")[1])
             else:
-                source = CheckpointManager(p, max_keep=self.ckpt.max_keep)
+                source = CheckpointManager(p, max_keep=self.ckpt.max_keep,
+                                           create=False)
         epoch = epoch if epoch is not None else source.latest_epoch()
         assert epoch is not None, "no checkpoint found"
         target = {

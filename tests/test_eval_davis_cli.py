@@ -62,3 +62,23 @@ def test_eval_davis_cli(davis_tree, capsys, monkeypatch):
         assert float(r["J&F-Mean"]) > 0.99
     sloppy = [r for r in rows if r["annotator"] == "3"][0]
     assert float(sloppy["J&F-Mean"]) < 0.99
+
+    # reference-schema CSVs per annotator (reference eval_davis.py:24-29)
+    g_measures = ["J&F-Mean", "J-Mean", "J-Recall", "J-Decay",
+                  "F-Mean", "F-Recall", "F-Decay"]
+    for anno in range(4):
+        gpath = results / f"anno_{anno}" / "global_results-val.csv"
+        spath = results / f"anno_{anno}" / "per-sequence_results-val.csv"
+        assert gpath.exists() and spath.exists()
+        with open(gpath) as f:
+            grows = list(csv.DictReader(f))
+        assert len(grows) == 1 and list(grows[0].keys()) == g_measures
+        with open(spath) as f:
+            srows = list(csv.DictReader(f))
+        assert list(srows[0].keys()) == ["Sequence", "J-Mean", "F-Mean"]
+        # 2 sequences x 2 objects each
+        assert sorted(r["Sequence"] for r in srows) == [
+            "seq_a_1", "seq_a_2", "seq_b_1", "seq_b_2"]
+        if anno < 3:
+            for r in srows:
+                assert float(r["J-Mean"]) > 0.99
