@@ -63,14 +63,14 @@ def init_params(model, T, H, W, S):
     return jax.jit(model.init)(jax.random.PRNGKey(0), pixels, pad, ids, msk)
 
 
-def measure_proxy(model, params, T: int, iters: int) -> dict:
+def measure_proxy(model, params, T: int, iters: int,
+                  H: int = 360, W: int = 640, S: int = 16) -> dict:
     """Rounds 1-3 protocol: fused forward + in-graph trajectory selection +
     scalar checksum fetch. Upper bound on any end-to-end number; kept for
     cross-round continuity."""
     import jax
     import jax.numpy as jnp
 
-    H, W, S = 360, 640, 16
     rng = np.random.RandomState(0)
     pixels = rng.randn(T, 1, H, W, 3).astype(np.float32)
     pad = np.zeros((T, 1, H, W), bool)
@@ -133,7 +133,9 @@ def measure_proxy(model, params, T: int, iters: int) -> dict:
 
 
 def measure_engine(model, params, T: int, n_videos: int,
-                   expressions: int = 1) -> dict:
+                   expressions: int = 1, H: int = 360, W: int = 640,
+                   text_encoder_type: str = "roberta-base",
+                   text_bucket: int = 32) -> dict:
     """The SHIPPED path: InferenceEngine end-to-end over synthetic 360x640
     videos, including the host tail (padding copy, score fetch, device
     finalize, uint8 mask fetch). Every video's pixels differ (defeats the
@@ -145,20 +147,35 @@ def measure_engine(model, params, T: int, n_videos: int,
     the split backbone/head path and fps counts frames x expressions."""
     from neurips2023_soc_tpu.inference import InferenceEngine
 
-    H, W = 360, 640
     texts = [f"expression number {k} describing the object"
              for k in range(expressions)]
     engine = InferenceEngine(
-        model, params, text_encoder_type="roberta-base", text_bucket=32,
+        model, params, text_encoder_type=text_encoder_type,
+        text_bucket=text_bucket,
         time_buckets=(T,), size_buckets=((H, W),),
     )
     rng = np.random.RandomState(42)
-    base = rng.randn(T, H, W, 3).astype(np.float32)
+    # uint8 frames are the shipped contract (eval datasets emit raw uint8;
+    # the engine normalizes on device); BENCH_ENGINE_DTYPE=float32 A/Bs the
+    # host-normalized float path
+    use_u8 = os.environ.get("BENCH_ENGINE_DTYPE", "uint8") == "uint8"
+    if use_u8:
+        base = rng.randint(0, 256, (T, H, W, 3)).astype(np.uint8)
 
-    def make_items(seed0, n):
-        for i in range(n):
-            yield dict(frames=base + np.float32(seed0 + i),
-                       texts=texts, original_size=(H, W))
+        def make_items(seed0, n):
+            for i in range(n):
+                frames = base.copy()
+                # any content change defeats execution memoization
+                frames[:, 0, 0, 0] = (seed0 + i) % 256
+                frames[:, 1, 0, 0] = ((seed0 + i) // 256) % 256
+                yield dict(frames=frames, texts=texts, original_size=(H, W))
+    else:
+        base = rng.randn(T, H, W, 3).astype(np.float32)
+
+        def make_items(seed0, n):
+            for i in range(n):
+                yield dict(frames=base + np.float32(seed0 + i),
+                           texts=texts, original_size=(H, W))
 
     # compile + two perturbed warm videos (first post-compile execution can
     # be 3-5x slow on the tunneled runtime)

@@ -40,6 +40,15 @@ def normalize_frames(frames: np.ndarray) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def frames_to_uint8(frames: np.ndarray) -> np.ndarray:
+    """[0,1] float frames (exact u8/255 values out of the PIL resize) ->
+    raw uint8 pixels for InferenceEngine's normalize-on-device path: the
+    engine's host->device transfer shrinks 4x and the numpy normalize pass
+    disappears (the engine normalizes in-graph, bit-compatible — see
+    inference._normalize_u8_in_graph)."""
+    return np.round(np.stack(frames) * 255.0).astype(np.uint8)
+
+
 def collate_batch(
     samples: List[Dict],
     tokenizer,

@@ -11,7 +11,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 from PIL import Image
 
-from .collate import normalize_frames
+from .collate import frames_to_uint8
 from .transforms import VideoTransforms
 
 
@@ -61,7 +61,8 @@ class ReferDAVISDataset:
         orig_size = frames[0].shape[:2]
         frames, _, _, text = self.transforms(frames, None, None, text)
         return {
-            "frames": normalize_frames(np.stack(frames)),
+            # RAW uint8 frames: InferenceEngine normalizes on device
+            "frames": frames_to_uint8(frames),
             "text": text,
             "video_metadata": {
                 "video_id": vid_id,

@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 from PIL import Image
 
-from .collate import normalize_frames
+from .collate import frames_to_uint8, normalize_frames
 from .transforms import VideoTransforms, stable_rng
 
 YTVOS_CATEGORIES = {
@@ -223,10 +223,12 @@ class ReferYouTubeVOSDataset:
                 "is_visible": visible,
                 "referred_instance_idx": 0,
             }
-        # validation: no annotations, attach metadata for postprocessing
+        # validation: no annotations, attach metadata for postprocessing.
+        # Frames ship as RAW uint8 — InferenceEngine normalizes on device
+        # (4x smaller host->device transfer, no numpy normalize pass)
         frames, _, _, text = self.transforms(frames, None, None, text)
         return {
-            "frames": normalize_frames(np.stack(frames)),
+            "frames": frames_to_uint8(frames),
             "text": text,
             "video_metadata": {
                 "video_id": vid_id,

@@ -49,6 +49,20 @@ DAVIS_PALETTE = b"\x00\x00\x00\x80\x00\x00\x00\x80\x00\x80\x80\x00\x00\x00\x80\x
 # None); largest bucket = whole-video single-forward cap (HBM-bound)
 DEFAULT_TIME_BUCKETS = (8, 16, 32, 64)
 
+# ImageNet statistics (reference datasets/transforms.py Normalize defaults)
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _normalize_u8_in_graph(pixels, pad_mask):
+    """uint8 (T, B, H, W, 3) -> ImageNet-normalized f32, zeroed on padding —
+    bit-compatible with the host path (dataset normalize + zero pad buffer),
+    but the host->device transfer is 4x smaller and the normalize rides the
+    device instead of a numpy pass."""
+    x = pixels.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
+    return jnp.where(pad_mask[..., None], 0.0, x)
+
 
 class InferenceEngine:
     def __init__(self, model, params, text_encoder_type: str = "roberta-base",
@@ -77,24 +91,28 @@ class InferenceEngine:
             pred_boxes[:, 0]
 
     # ---------------- jitted clip programs ----------------
-    def _clip_program(self):
+    def _clip_program(self, u8: bool):
         """All-query program: per-chunk scores + stride-4 mask logits for all
         queries. Trajectory selection happens on the host over the WHOLE
         video, matching reference infer_refytb.py:221-226 exactly even when
-        the video is processed in chunks."""
+        the video is processed in chunks. The u8 variant takes raw uint8
+        pixels and normalizes in-graph (see _normalize_u8_in_graph)."""
         model = self.model
 
         @jax.jit
         def run(params, pixels, pad_mask, ids, msk):
+            if u8:
+                pixels = _normalize_u8_in_graph(pixels, pad_mask)
             out = model.apply(params, pixels, pad_mask, ids, msk)
             return InferenceEngine._extract_outputs(out)
 
         return run
 
-    def _get_program(self):
-        if "clip" not in self._jitted:
-            self._jitted["clip"] = self._clip_program()
-        return self._jitted["clip"]
+    def _get_program(self, u8: bool = False):
+        key = "clip_u8" if u8 else "clip"
+        if key not in self._jitted:
+            self._jitted[key] = self._clip_program(u8)
+        return self._jitted[key]
 
     def _get_finalize(self):
         """Jitted host-tail replacement: gather the chosen query's stride-4
@@ -126,19 +144,26 @@ class InferenceEngine:
             self._jitted["finalize"] = finalize
         return self._jitted["finalize"]
 
-    def _get_split_programs(self):
+    def _get_split_programs(self, u8: bool = False):
         """Backbone / head stage pair for multi-expression inference: the
         backbone (text-independent, ~55% of the forward) runs once per video
         chunk; the head re-runs per expression on the SAME device-resident
         features. model.head(model.backbone_features(x)) == model(x) by
         construction (models/soc.py)."""
-        if "backbone" not in self._jitted:
+        bb_key = "backbone_u8" if u8 else "backbone"
+        if bb_key not in self._jitted:
             model = self.model
 
             @jax.jit
             def run_backbone(params, pixels, pad_mask):
+                if u8:
+                    pixels = _normalize_u8_in_graph(pixels, pad_mask)
                 return model.apply(params, pixels, pad_mask,
                                    method="backbone_features")
+
+            self._jitted[bb_key] = run_backbone
+        if "head" not in self._jitted:
+            model = self.model
 
             @jax.jit
             def run_head(params, features, pad_mask, ids, msk):
@@ -146,9 +171,8 @@ class InferenceEngine:
                                   method="head")
                 return InferenceEngine._extract_outputs(out)
 
-            self._jitted["backbone"] = run_backbone
             self._jitted["head"] = run_head
-        return self._jitted["backbone"], self._jitted["head"]
+        return self._jitted[bb_key], self._jitted["head"]
 
     # ---------------- per-video inference ----------------
     def infer_video(
@@ -228,10 +252,14 @@ class InferenceEngine:
         H, W = pick_size_bucket(fh, fw, self.size_buckets)
         toks = [self.tokenizer([t]) for t in texts]
         K = len(toks)
+        # uint8 frames (raw resized pixels): normalize ON DEVICE — the
+        # host->device transfer is 4x smaller and the numpy normalize pass
+        # disappears; float32 frames are the dataset-normalized contract
+        u8 = frames.dtype == np.uint8
         if K == 1:
-            run = self._get_program()
+            run = self._get_program(u8)
         else:
-            run_bb, run_head = self._get_split_programs()
+            run_bb, run_head = self._get_split_programs(u8)
 
         chunk = max(self.time_buckets)
         chunks = []  # (outs per text, t) — outs = (scores, logits, boxes)
@@ -239,7 +267,8 @@ class InferenceEngine:
             clip = frames[start : start + chunk]
             t = clip.shape[0]
             T = pick_time_bucket(t, self.time_buckets)
-            pixels = np.zeros((T, 1, H, W, 3), np.float32)
+            pixels = np.zeros((T, 1, H, W, 3),
+                              np.uint8 if u8 else np.float32)
             pad = np.ones((T, 1, H, W), bool)
             pixels[:t, 0, :fh, :fw] = clip
             if t < T:  # repeat last frame into padding (content only)

@@ -201,6 +201,37 @@ def test_device_resident_logits_and_finalize(engine):
     assert probs.min() >= 0 and probs.max() <= 1
 
 
+def test_uint8_frames_normalize_on_device_parity(engine):
+    """uint8 frames (raw resized pixels) must produce the same result as the
+    float path fed the SAME pixels normalized on the host — the on-device
+    normalize + zeroed padding is bit-compatible with the dataset's
+    normalize + zero pad buffer (host->device transfer shrinks 4x)."""
+    from neurips2023_soc_tpu.inference import _IMAGENET_MEAN, _IMAGENET_STD
+
+    rs = np.random.RandomState(8)
+    u8 = rs.randint(0, 256, (5, 40, 56, 3)).astype(np.uint8)
+    f32 = ((u8.astype(np.float32) / 255.0) - _IMAGENET_MEAN) / _IMAGENET_STD
+
+    got = engine.infer_video(u8, "a thing", original_size=(40, 56),
+                             return_probs=True)
+    want = engine.infer_video(f32, "a thing", original_size=(40, 56),
+                              return_probs=True)
+    # the in-graph normalize differs from the host pass by float rounding
+    # (~1e-7 on inputs), which the network amplifies to ~2e-3 on output
+    # probabilities — identical semantics, loose float tolerance
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=5e-3)
+
+    # multi-expression split path too
+    (got2,) = engine.infer_video_multi(u8, ["a thing", "b thing"][:1],
+                                       original_size=(40, 56),
+                                       return_probs=True)
+    np.testing.assert_allclose(got2, want, rtol=1e-2, atol=5e-3)
+    multi = engine.infer_video_multi(u8, ["a thing", "another thing"],
+                                     original_size=(40, 56),
+                                     return_probs=True)
+    np.testing.assert_allclose(multi[0], want, rtol=1e-2, atol=5e-3)
+
+
 def test_infer_videos_pipelined_order(engine):
     """infer_videos yields results in input order and matches the sync
     path exactly (depth-1 pipelining must not change numerics)."""
