@@ -68,12 +68,19 @@ class InferenceEngine:
     def __init__(self, model, params, text_encoder_type: str = "roberta-base",
                  text_bucket: int = 32,
                  time_buckets: Optional[Sequence[int]] = None,
-                 size_buckets=((360, 640),)):
+                 size_buckets=((360, 640),),
+                 pack_masks: bool = False):
+        """pack_masks: bit-pack thresholded masks on device (8 pixels/byte)
+        and unpack with np.unpackbits after the fetch — 8x smaller
+        device->host transfers for the final masks. Off by default until
+        A/B'd on the target link (BENCH_NOTES.md); results are identical
+        either way (tests/test_inference.py::test_pack_masks_parity)."""
         self.model = model
         self.params = params
         self.tokenizer = build_tokenizer(text_encoder_type, text_bucket)
         self.time_buckets = tuple(time_buckets or DEFAULT_TIME_BUCKETS)
         self.size_buckets = tuple(size_buckets)
+        self.pack_masks = pack_masks
         self._jitted = {}
 
     @staticmethod
@@ -125,6 +132,8 @@ class InferenceEngine:
         original size, then >0.5)."""
         if "finalize" not in self._jitted:
 
+            pack = self.pack_masks
+
             @partial(jax.jit,
                      static_argnames=("H", "W", "fh", "fw", "oh", "ow",
                                       "want_probs"))
@@ -139,7 +148,18 @@ class InferenceEngine:
                 prob = jax.nn.sigmoid(jnp.clip(content, -30.0, 30.0))
                 if want_probs:
                     return prob
-                return (prob > 0.5).astype(jnp.uint8)
+                mask = (prob > 0.5).astype(jnp.uint8)
+                if not pack:
+                    return mask
+                # bit-pack 8 pixels/byte along width (np.unpackbits layout:
+                # MSB first); the fetch shrinks 8x
+                pad_w = (-ow) % 8
+                if pad_w:
+                    mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad_w)))
+                weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+                T = mask.shape[0]
+                return (mask.reshape(T, oh, -1, 8) * weights).sum(
+                    -1, dtype=jnp.uint8)
 
             self._jitted["finalize"] = finalize
         return self._jitted["finalize"]
@@ -323,8 +343,12 @@ class InferenceEngine:
             # dispatch every chunk's finalize before fetching any (pipelined)
             outs = [finalize(lg, q, **stat)
                     for (lg, _), q in zip(logits_per[k], qs)]
-            masks = [np.asarray(m)[:t]
-                     for m, (_, t) in zip(outs, logits_per[k])]
+            unpack = self.pack_masks and not handle["return_probs"]
+            masks = [
+                (np.unpackbits(np.asarray(m), axis=-1)[:t, :, :handle["ow"]]
+                 if unpack else np.asarray(m)[:t])
+                for m, (_, t) in zip(outs, logits_per[k])
+            ]
             logits_per[k] = None  # release device logits promptly
             result = np.concatenate(masks, 0)
             if handle["return_boxes"]:

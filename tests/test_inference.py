@@ -232,6 +232,31 @@ def test_uint8_frames_normalize_on_device_parity(engine):
     np.testing.assert_allclose(multi[0], want, rtol=1e-2, atol=5e-3)
 
 
+def test_pack_masks_parity(engine):
+    """pack_masks=True (device bit-pack, 8x smaller fetch, np.unpackbits on
+    host) must return masks IDENTICAL to the plain uint8 path, including a
+    width that is not a multiple of 8 and an original-size resize."""
+    from neurips2023_soc_tpu.inference import InferenceEngine
+
+    packed_engine = InferenceEngine(
+        engine.model, engine.params, text_encoder_type="roberta-tiny",
+        text_bucket=8, time_buckets=(4,), size_buckets=((48, 64),),
+        pack_masks=True,
+    )
+    frames = np.random.RandomState(9).randn(5, 40, 56, 3).astype(np.float32)
+    for osize in ((40, 56), (77, 101)):  # 101 % 8 != 0
+        want = engine.infer_video(frames, "a thing", original_size=osize)
+        got = packed_engine.infer_video(frames, "a thing", original_size=osize)
+        assert got.dtype == np.uint8 and got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+    # probs path is unaffected by the flag
+    pw = engine.infer_video(frames, "a thing", original_size=(40, 56),
+                            return_probs=True)
+    pg = packed_engine.infer_video(frames, "a thing", original_size=(40, 56),
+                                   return_probs=True)
+    np.testing.assert_allclose(pg, pw, rtol=1e-5, atol=1e-6)
+
+
 def test_infer_videos_pipelined_order(engine):
     """infer_videos yields results in input order and matches the sync
     path exactly (depth-1 pipelining must not change numerics)."""
