@@ -35,9 +35,15 @@ def main():
     parser.add_argument("--results_path", required=True,
                         help="dir with anno_{0..3}/<video>/<frame>.png")
     parser.add_argument("--set", default="val")
+    parser.add_argument("--task", default="unsupervised",
+                        choices=["semi-supervised", "unsupervised"],
+                        help="evaluation protocol (reference eval_davis.py "
+                             "--task; RVOS uses unsupervised)")
     args = parser.parse_args()
 
-    gt_dir = path.join(args.davis_path, "Annotations_unsupervised", "480p")
+    gt_ann = ("Annotations_unsupervised" if args.task == "unsupervised"
+              else "Annotations")
+    gt_dir = path.join(args.davis_path, gt_ann, "480p")
     seq_file = path.join(args.davis_path, "ImageSets", "2017", f"{args.set}.txt")
     with open(seq_file) as f:
         sequences = f.read().splitlines()
@@ -58,7 +64,7 @@ def main():
             res_dir = path.join(args.results_path, f"anno_{anno_id}", seq)
             res = _split_objects(_load_index_masks(res_dir, frames))
             seqs[seq] = (gt, res)
-        result = evaluate_sequences(seqs, task="unsupervised")
+        result = evaluate_sequences(seqs, task=args.task)
         out = result["global"]
         print(f"anno_{anno_id}: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
         global_rows.append({"annotator": anno_id, **out})

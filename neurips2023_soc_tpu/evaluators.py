@@ -362,15 +362,28 @@ def build_ytvos_evaluator(model, config, dataset=None) -> Callable:
                 ),
             )
         if "engine" not in state:
-            state["engine"] = InferenceEngine(
-                model, params,
+            import jax
+
+            from .inference import EnginePool
+
+            kw = dict(
                 text_encoder_type=config.text_encoder_type,
                 text_bucket=config.get("text_bucket", 32),
                 time_buckets=config.get("eval_time_buckets"),
                 size_buckets=((config.eval_short_size, config.eval_max_size),),
             )
+            # per-epoch eval saturates every local chip (training is paused
+            # while it runs); one engine per device, videos fanned over
+            # threads — the reference's one-worker-per-GPU inference split
+            state["engine"] = (
+                EnginePool(model, params, **kw)
+                if len(jax.local_devices()) > 1
+                else InferenceEngine(model, params, **kw))
         engine = state["engine"]
-        engine.params = params
+        if hasattr(engine, "update_params"):
+            engine.update_params(params)
+        else:
+            engine.params = params
 
         out_root = Path(config.get("output_dir")
                         or f"outputs/{config.dataset_name}") / "validation_outputs"

@@ -404,6 +404,12 @@ class EnginePool:
             for d in devices
         ]
 
+    def update_params(self, params):
+        """Refresh every engine's params replica (per-epoch eval during
+        training: the trainer's current params are re-pinned per device)."""
+        for eng, d in zip(self.engines, self.devices):
+            eng.params = jax.device_put(params, d)
+
     def map_videos(self, items: Sequence, fn) -> List:
         """fn(engine, item) -> result; returns results in input order.
         Items are distributed round-robin (item i -> engine i % n), matching
