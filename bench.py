@@ -153,7 +153,7 @@ def measure_engine(model, params, T: int, n_videos: int,
         model, params, text_encoder_type=text_encoder_type,
         text_bucket=text_bucket,
         time_buckets=(T,), size_buckets=((H, W),),
-        pack_masks=os.environ.get("BENCH_PACK_MASKS") == "1",
+        pack_masks=os.environ.get("BENCH_PACK_MASKS", "1") == "1",
     )
     rng = np.random.RandomState(42)
     # uint8 frames are the shipped contract (eval datasets emit raw uint8;

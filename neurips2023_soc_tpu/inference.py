@@ -11,6 +11,18 @@ final (T, oh, ow) masks — host transfer and peak host RAM no longer scale
 with Nq (reference infer_refytb.py:221-277 does all of this on the GPU->CPU
 boundary per frame). Only PNG/zip encoding runs on the host.
 
+Videos that fit in ONE chunk (T <= max bucket — every Ref-YTVOS valid video)
+go further: whole-video trajectory selection reduces to single-chunk
+selection, so the argmax AND the finalize fuse into the clip program itself —
+one dispatch, one fetch per (video, expression), no intermediate score/boxes
+round-trips. Host->device traffic is minimized structurally: the pad mask
+(geometry-only) is built once per bucket shape and cached device-resident,
+pixels ride an explicit `jax.device_put` (measurably faster than staging
+numpy through the jit call), and thresholded masks come back bit-packed
+(8 pixels/byte, `pack_masks=True` default). These choices are link-agnostic
+but were sized against a measured transfer budget — see
+BENCH_NOTES.md "engine transfer roofline".
+
 Time buckets reach 64 frames so typical Ref-YTVOS videos run in ONE forward —
 VOC clusters over the whole video, matching the reference's single-forward
 semantics (infer_refytb.py:206-214) — while longer videos fall back to
@@ -64,17 +76,45 @@ def _normalize_u8_in_graph(pixels, pad_mask):
     return jnp.where(pad_mask[..., None], 0.0, x)
 
 
+def _finalize_masks(logits, q, *, H, W, fh, fw, oh, ow, want_probs, pack):
+    """Device-side host-tail: gather query `q`'s stride-4 logits, upsample to
+    the (H, W) bucket, crop to the resized content, resize to the ORIGINAL
+    frame size, sigmoid (+ threshold unless probabilities are wanted).
+    Matches reference infer_refytb.py:230-277 (bilinear to original size,
+    then >0.5). With pack, thresholded masks are bit-packed 8 pixels/byte
+    along width (np.unpackbits layout, MSB first) so the fetch shrinks 8x."""
+    sel = jnp.take(logits, q, axis=1).astype(jnp.float32)
+    up = resize_bilinear(sel[..., None], H, W)[..., 0]
+    content = up[:, :fh, :fw]
+    if (oh, ow) != (fh, fw):
+        content = resize_bilinear(content[..., None], oh, ow)[..., 0]
+    prob = jax.nn.sigmoid(jnp.clip(content, -30.0, 30.0))
+    if want_probs:
+        return prob
+    mask = (prob > 0.5).astype(jnp.uint8)
+    if not pack:
+        return mask
+    pad_w = (-ow) % 8
+    if pad_w:
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad_w)))
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    T = mask.shape[0]
+    return (mask.reshape(T, oh, -1, 8) * weights).sum(-1, dtype=jnp.uint8)
+
+
 class InferenceEngine:
     def __init__(self, model, params, text_encoder_type: str = "roberta-base",
                  text_bucket: int = 32,
                  time_buckets: Optional[Sequence[int]] = None,
                  size_buckets=((360, 640),),
-                 pack_masks: bool = False):
+                 pack_masks: bool = True):
         """pack_masks: bit-pack thresholded masks on device (8 pixels/byte)
         and unpack with np.unpackbits after the fetch — 8x smaller
-        device->host transfers for the final masks. Off by default until
-        A/B'd on the target link (BENCH_NOTES.md); results are identical
-        either way (tests/test_inference.py::test_pack_masks_parity)."""
+        device->host transfers for the final masks, bit-identical results
+        (tests/test_inference.py::test_pack_masks_parity). Default ON: the
+        unpackbits pass is ~free next to the transfer it replaces on every
+        link measured (BENCH_NOTES.md); pack_masks=False skips it for
+        debugging raw mask fetches."""
         self.model = model
         self.params = params
         self.tokenizer = build_tokenizer(text_encoder_type, text_bucket)
@@ -82,6 +122,29 @@ class InferenceEngine:
         self.size_buckets = tuple(size_buckets)
         self.pack_masks = pack_masks
         self._jitted = {}
+        self._pad_cache = {}
+
+    def _device(self):
+        """The device this engine's params are committed to (EnginePool pins
+        one replica per local device); None for uncommitted params."""
+        leaves = jax.tree_util.tree_leaves(self.params)
+        if not leaves or not hasattr(leaves[0], "devices"):
+            return None
+        devs = leaves[0].devices()
+        return next(iter(devs)) if len(devs) == 1 else None
+
+    def _get_pad(self, T: int, H: int, W: int, fh: int, fw: int, dev):
+        """Device-resident pad mask per bucket geometry. The mask depends
+        only on (bucket, content) shapes, so caching it removes a
+        T*H*W-byte host->device transfer from EVERY video dispatch."""
+        key = (T, H, W, fh, fw, dev)
+        buf = self._pad_cache.get(key)
+        if buf is None:
+            pad = np.ones((T, 1, H, W), bool)
+            pad[:, :, :fh, :fw] = False
+            buf = jax.device_put(pad, dev)
+            self._pad_cache[key] = buf
+        return buf
 
     @staticmethod
     def _extract_outputs(out):
@@ -122,16 +185,12 @@ class InferenceEngine:
         return self._jitted[key]
 
     def _get_finalize(self):
-        """Jitted host-tail replacement: gather the chosen query's stride-4
-        logits, upsample to the size bucket, crop to the resized content,
-        resize to the ORIGINAL frame size, sigmoid (and threshold unless
-        probabilities are requested) — all on device. Statics (fh, fw, oh,
-        ow, want_probs) are per-video constants; the graph is tiny, so the
-        per-unique-size compile cost is negligible next to the model
-        program's. Matches reference infer_refytb.py:230-277 (bilinear to
-        original size, then >0.5)."""
+        """Jitted standalone finalize (_finalize_masks) for the MULTI-chunk
+        path, where trajectory selection needs whole-video scores on the
+        host first. Statics (fh, fw, oh, ow, want_probs) are per-video
+        constants; the graph is tiny, so the per-unique-size compile cost is
+        negligible next to the model program's."""
         if "finalize" not in self._jitted:
-
             pack = self.pack_masks
 
             @partial(jax.jit,
@@ -139,30 +198,75 @@ class InferenceEngine:
                                       "want_probs"))
             def finalize(logits, q, *, H, W, fh, fw, oh, ow, want_probs):
                 # logits (T, Nq, h4, w4) bf16 device-resident; q traced scalar
-                sel = jnp.take(logits, q, axis=1).astype(jnp.float32)
-                up = resize_bilinear(sel[..., None], H, W)[..., 0]
-                content = up[:, :fh, :fw]
-                if (oh, ow) != (fh, fw):
-                    content = resize_bilinear(
-                        content[..., None], oh, ow)[..., 0]
-                prob = jax.nn.sigmoid(jnp.clip(content, -30.0, 30.0))
-                if want_probs:
-                    return prob
-                mask = (prob > 0.5).astype(jnp.uint8)
-                if not pack:
-                    return mask
-                # bit-pack 8 pixels/byte along width (np.unpackbits layout:
-                # MSB first); the fetch shrinks 8x
-                pad_w = (-ow) % 8
-                if pad_w:
-                    mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad_w)))
-                weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-                T = mask.shape[0]
-                return (mask.reshape(T, oh, -1, 8) * weights).sum(
-                    -1, dtype=jnp.uint8)
+                return _finalize_masks(
+                    logits, q, H=H, W=W, fh=fh, fw=fw, oh=oh, ow=ow,
+                    want_probs=want_probs, pack=pack)
 
             self._jitted["finalize"] = finalize
         return self._jitted["finalize"]
+
+    @staticmethod
+    def _select_and_finalize(out, t, *, H, W, fh, fw, oh, ow, want_probs,
+                             pack):
+        """In-graph single-chunk trajectory selection + finalize: when the
+        whole video fits in one chunk, whole-video mean-score selection
+        (reference infer_refytb.py:221-226) IS single-chunk selection, so
+        the argmax and the mask finalize fuse into the clip program — one
+        dispatch and one fetch per (video, expression), no intermediate
+        score/boxes round-trips. `t` (traced) masks time-padding rows out
+        of the score mean."""
+        scores, logits, boxes = InferenceEngine._extract_outputs(out)
+        T = scores.shape[0]
+        valid = (jnp.arange(T) < t).astype(jnp.float32)[:, None]
+        q = jnp.argmax((scores * valid).sum(0) / t.astype(jnp.float32))
+        masks = _finalize_masks(logits, q, H=H, W=W, fh=fh, fw=fw,
+                                oh=oh, ow=ow, want_probs=want_probs,
+                                pack=pack)
+        return masks, jnp.take(boxes, q, axis=1)
+
+    def _get_sel_program(self, u8: bool):
+        """Fused single-chunk program: forward + selection + finalize."""
+        key = "clip_sel_u8" if u8 else "clip_sel"
+        if key not in self._jitted:
+            model = self.model
+            pack = self.pack_masks
+
+            @partial(jax.jit,
+                     static_argnames=("fh", "fw", "oh", "ow", "want_probs"))
+            def run_sel(params, pixels, pad_mask, ids, msk, t, *,
+                        fh, fw, oh, ow, want_probs):
+                if u8:
+                    pixels = _normalize_u8_in_graph(pixels, pad_mask)
+                out = model.apply(params, pixels, pad_mask, ids, msk)
+                H, W = pixels.shape[2], pixels.shape[3]
+                return InferenceEngine._select_and_finalize(
+                    out, t, H=H, W=W, fh=fh, fw=fw, oh=oh, ow=ow,
+                    want_probs=want_probs, pack=pack)
+
+            self._jitted[key] = run_sel
+        return self._jitted[key]
+
+    def _get_sel_head_program(self):
+        """Fused single-chunk HEAD program for multi-expression inference:
+        per-expression selection + finalize on the shared device-resident
+        backbone features."""
+        if "head_sel" not in self._jitted:
+            model = self.model
+            pack = self.pack_masks
+
+            @partial(jax.jit,
+                     static_argnames=("fh", "fw", "oh", "ow", "want_probs"))
+            def run_head_sel(params, features, pad_mask, ids, msk, t, *,
+                             fh, fw, oh, ow, want_probs):
+                out = model.apply(params, features, pad_mask, ids, msk,
+                                  method="head")
+                H, W = pad_mask.shape[2], pad_mask.shape[3]
+                return InferenceEngine._select_and_finalize(
+                    out, t, H=H, W=W, fh=fh, fw=fw, oh=oh, ow=ow,
+                    want_probs=want_probs, pack=pack)
+
+            self._jitted["head_sel"] = run_head_sel
+        return self._jitted["head_sel"]
 
     def _get_split_programs(self, u8: bool = False):
         """Backbone / head stage pair for multi-expression inference: the
@@ -257,17 +361,35 @@ class InferenceEngine:
         while pending:
             yield self._collect_video(pending.popleft())
 
+    def _pixel_buffer(self, clip: np.ndarray, T: int, H: int, W: int,
+                      fh: int, fw: int, u8: bool, dev):
+        """Bucket-padded pixel buffer, committed to this engine's device via
+        an explicit device_put (measurably faster than staging numpy through
+        the jit call on the tunneled runtime, and required for EnginePool's
+        per-device engines)."""
+        t = clip.shape[0]
+        pixels = np.zeros((T, 1, H, W, 3), np.uint8 if u8 else np.float32)
+        pixels[:t, 0, :fh, :fw] = clip
+        if t < T:  # repeat last frame into padding (content only)
+            pixels[t:, 0, :fh, :fw] = clip[-1]
+        return jax.device_put(pixels, dev)
+
     def _dispatch_video(
         self, frames: np.ndarray, texts: Sequence[str],
         original_size: Optional[Tuple[int, int]] = None,
         return_probs: bool = False,
         trajectory: str = "video",
         return_boxes: bool = False,
+        fuse: bool = True,
     ) -> dict:
         """Host preprocessing + async dispatch of every chunk's model
         program. Returns a handle for _collect_video; nothing is fetched
         here, so dispatch of the NEXT video can overlap this one's device
-        compute (jax async dispatch)."""
+        compute (jax async dispatch).
+
+        Single-chunk videos take the FUSED path (selection + finalize inside
+        the clip program — see _select_and_finalize); fuse=False forces the
+        generic chunked path (parity tests, score inspection)."""
         T_total, fh, fw, _ = frames.shape
         H, W = pick_size_bucket(fh, fw, self.size_buckets)
         toks = [self.tokenizer([t]) for t in texts]
@@ -276,24 +398,46 @@ class InferenceEngine:
         # host->device transfer is 4x smaller and the numpy normalize pass
         # disappears; float32 frames are the dataset-normalized contract
         u8 = frames.dtype == np.uint8
+        chunk = max(self.time_buckets)
+        oh, ow = (original_size if original_size is not None else (fh, fw))
+        oh, ow = int(oh), int(ow)
+        dev = self._device()
+
+        if fuse and T_total <= chunk:
+            # whole video in one chunk: selection + finalize fused in-graph
+            t = T_total
+            T = pick_time_bucket(t, self.time_buckets)
+            pixels = self._pixel_buffer(frames, T, H, W, fh, fw, u8, dev)
+            pad = self._get_pad(T, H, W, fh, fw, dev)
+            stat = dict(fh=fh, fw=fw, oh=oh, ow=ow, want_probs=return_probs)
+            tt = np.int32(t)
+            if K == 1:
+                run = self._get_sel_program(u8)
+                outs = [run(self.params, pixels, pad, *toks[0], tt, **stat)]
+            else:
+                run_bb = self._get_split_programs(u8)[0]
+                run_head = self._get_sel_head_program()
+                feats = run_bb(self.params, pixels, pad)
+                outs = [run_head(self.params, feats, pad, ids, msk, tt,
+                                 **stat)
+                        for ids, msk in toks]
+            return dict(
+                fused=True, outs=outs, t=t, K=K, oh=oh, ow=ow,
+                return_probs=return_probs, return_boxes=return_boxes,
+            )
+
         if K == 1:
             run = self._get_program(u8)
         else:
             run_bb, run_head = self._get_split_programs(u8)
 
-        chunk = max(self.time_buckets)
         chunks = []  # (outs per text, t) — outs = (scores, logits, boxes)
         for start in range(0, T_total, chunk):
             clip = frames[start : start + chunk]
             t = clip.shape[0]
             T = pick_time_bucket(t, self.time_buckets)
-            pixels = np.zeros((T, 1, H, W, 3),
-                              np.uint8 if u8 else np.float32)
-            pad = np.ones((T, 1, H, W), bool)
-            pixels[:t, 0, :fh, :fw] = clip
-            if t < T:  # repeat last frame into padding (content only)
-                pixels[t:, 0, :fh, :fw] = clip[-1]
-            pad[:, :, :fh, :fw] = False
+            pixels = self._pixel_buffer(clip, T, H, W, fh, fw, u8, dev)
+            pad = self._get_pad(T, H, W, fh, fw, dev)
             if K == 1:
                 outs = [run(self.params, pixels, pad, *toks[0])]
             else:
@@ -301,10 +445,9 @@ class InferenceEngine:
                 outs = [run_head(self.params, feats, pad, ids, msk)
                         for ids, msk in toks]
             chunks.append((outs, t))
-        oh, ow = (original_size if original_size is not None else (fh, fw))
         return dict(
             chunks=chunks, K=K, H=H, W=W, fh=fh, fw=fw,
-            oh=int(oh), ow=int(ow), return_probs=return_probs,
+            oh=oh, ow=ow, return_probs=return_probs,
             trajectory=trajectory, return_boxes=return_boxes,
         )
 
@@ -313,7 +456,26 @@ class InferenceEngine:
         trajectory, then run the device-side finalize per chunk and fetch
         only the final masks. All-query mask logits NEVER cross to the host
         (VERDICT r3 weak #1: the old path fetched ~Nq x that per chunk), and
-        host peak RAM is one video's final masks regardless of Nq."""
+        host peak RAM is one video's final masks regardless of Nq.
+
+        Fused (single-chunk) handles skip all of that: selection already
+        happened in-graph, so the only fetch is the final masks (+ the
+        chosen trajectory's (T, 4) boxes when asked)."""
+        if handle.get("fused"):
+            t, oh, ow = handle["t"], handle["oh"], handle["ow"]
+            unpack = self.pack_masks and not handle["return_probs"]
+            results = []
+            for masks_dev, boxes_dev in handle["outs"]:
+                m = np.asarray(masks_dev)
+                m = (np.unpackbits(m, axis=-1)[:t, :, :ow]
+                     if unpack else m[:t])
+                if handle["return_boxes"]:
+                    bx = np.asarray(boxes_dev)[:t].astype(np.float32)
+                    results.append((m, _cxcywh_to_xyxy_pixels(bx, oh, ow)))
+                else:
+                    results.append(m)
+            return results
+
         finalize = self._get_finalize()
         H, W = handle["H"], handle["W"]
         stat = dict(H=H, W=W, fh=handle["fh"], fw=handle["fw"],
@@ -370,18 +532,20 @@ def _rescale_boxes(all_boxes: List[np.ndarray], chosen: List[int],
     original-size pixels are simply box * (ow, oh) (reference
     infer_refytb.py:293-297 rescale_bboxes multiplies by the original size
     only). all_boxes: per chunk (t, Nq, 4); chosen: per-chunk query index."""
-    sx, sy = float(ow), float(oh)
-    box_rows = []
-    for bx, q in zip(all_boxes, chosen):
-        cx, cy, bw, bh = [bx[:, q, k] for k in range(4)]
-        xyxy = np.stack(
-            [(cx - bw / 2) * sx, (cy - bh / 2) * sy,
-             (cx + bw / 2) * sx, (cy + bh / 2) * sy], -1)
-        box_rows.append(xyxy)
-    boxes = np.concatenate(box_rows, 0)
-    boxes[:, 0::2] = boxes[:, 0::2].clip(0, ow)
-    boxes[:, 1::2] = boxes[:, 1::2].clip(0, oh)
-    return boxes
+    boxes = np.concatenate(
+        [bx[:, q] for bx, q in zip(all_boxes, chosen)], 0)
+    return _cxcywh_to_xyxy_pixels(boxes, oh, ow)
+
+
+def _cxcywh_to_xyxy_pixels(boxes: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """(T, 4) cxcywh normalized -> xyxy pixels at original size, clipped."""
+    cx, cy, bw, bh = boxes.T
+    xyxy = np.stack(
+        [(cx - bw / 2) * ow, (cy - bh / 2) * oh,
+         (cx + bw / 2) * ow, (cy + bh / 2) * oh], -1)
+    xyxy[:, 0::2] = xyxy[:, 0::2].clip(0, ow)
+    xyxy[:, 1::2] = xyxy[:, 1::2].clip(0, oh)
+    return xyxy
 
 
 class EnginePool:

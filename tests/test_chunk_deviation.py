@@ -45,8 +45,9 @@ def _engine(model, params, buckets):
 
 
 def _selected_query(engine, frames):
-    """Whole-video trajectory selection as _collect_video computes it."""
-    handle = engine._dispatch_video(frames, ["a thing"])
+    """Whole-video trajectory selection as _collect_video computes it
+    (fuse=False: the fused path keeps scores in-graph)."""
+    handle = engine._dispatch_video(frames, ["a thing"], fuse=False)
     scores = np.concatenate(
         [np.asarray(outs[0][0])[:t] for outs, t in handle["chunks"]], 0)
     return int(scores.mean(0).argmax())

@@ -233,27 +233,28 @@ def test_uint8_frames_normalize_on_device_parity(engine):
 
 
 def test_pack_masks_parity(engine):
-    """pack_masks=True (device bit-pack, 8x smaller fetch, np.unpackbits on
-    host) must return masks IDENTICAL to the plain uint8 path, including a
-    width that is not a multiple of 8 and an original-size resize."""
+    """pack_masks=True (the default: device bit-pack, 8x smaller fetch,
+    np.unpackbits on host) must return masks IDENTICAL to the plain uint8
+    path (pack_masks=False), including a width that is not a multiple of 8
+    and an original-size resize."""
     from neurips2023_soc_tpu.inference import InferenceEngine
 
-    packed_engine = InferenceEngine(
+    plain_engine = InferenceEngine(
         engine.model, engine.params, text_encoder_type="roberta-tiny",
         text_bucket=8, time_buckets=(4,), size_buckets=((48, 64),),
-        pack_masks=True,
+        pack_masks=False,
     )
     frames = np.random.RandomState(9).randn(5, 40, 56, 3).astype(np.float32)
     for osize in ((40, 56), (77, 101)):  # 101 % 8 != 0
-        want = engine.infer_video(frames, "a thing", original_size=osize)
-        got = packed_engine.infer_video(frames, "a thing", original_size=osize)
+        want = plain_engine.infer_video(frames, "a thing", original_size=osize)
+        got = engine.infer_video(frames, "a thing", original_size=osize)
         assert got.dtype == np.uint8 and got.shape == want.shape
         np.testing.assert_array_equal(got, want)
     # probs path is unaffected by the flag
-    pw = engine.infer_video(frames, "a thing", original_size=(40, 56),
+    pw = plain_engine.infer_video(frames, "a thing", original_size=(40, 56),
+                                  return_probs=True)
+    pg = engine.infer_video(frames, "a thing", original_size=(40, 56),
                             return_probs=True)
-    pg = packed_engine.infer_video(frames, "a thing", original_size=(40, 56),
-                                   return_probs=True)
     np.testing.assert_allclose(pg, pw, rtol=1e-5, atol=1e-6)
 
 
@@ -304,4 +305,48 @@ def test_engine_pool_multi_device_parity(engine):
     # engines 0..3 all saw work (6 items round-robin over 4 engines) and
     # their finalize outputs were computed on their own devices
     for eng in pool.engines[:2]:
-        assert "clip" in eng._jitted
+        assert "clip_sel" in eng._jitted or "clip" in eng._jitted
+
+
+def test_fused_single_chunk_parity(engine):
+    """Single-chunk videos run the FUSED program (in-graph selection +
+    finalize, one dispatch / one fetch per expression). It must be
+    bit-identical to the generic chunked path (fuse=False) across masks,
+    probs, boxes, t < bucket (masked score mean), and multi-expression."""
+    frames = np.random.RandomState(7).randn(3, 48, 64, 3).astype(np.float32)
+    texts = ["a red thing", "something on the left"]
+
+    fused = engine.infer_video_multi(
+        frames, texts, original_size=(80, 112), return_boxes=True)
+    handle = engine._dispatch_video(
+        frames, texts, original_size=(80, 112), return_boxes=True,
+        fuse=False)
+    legacy = engine._collect_video(handle)
+
+    for (mf, bf), (ml, bl) in zip(fused, legacy):
+        np.testing.assert_array_equal(mf, ml)
+        np.testing.assert_allclose(bf, bl, atol=1e-5)
+
+    # probs path (DAVIS merging) — float outputs, no packing
+    pf = engine.infer_video(frames, texts[0], return_probs=True)
+    h = engine._dispatch_video(frames, [texts[0]], return_probs=True,
+                               fuse=False)
+    pl = engine._collect_video(h)[0]
+    np.testing.assert_array_equal(pf, pl)
+
+
+def test_fused_uint8_and_pad_cache(engine):
+    """Fused path with uint8 frames (normalize-on-device) matches the
+    fuse=False path, and the device pad-mask cache is populated and reused
+    across dispatches of the same bucket geometry."""
+    rng = np.random.RandomState(9)
+    frames = rng.randint(0, 256, (4, 48, 64, 3), np.uint8)
+    a = engine.infer_video(frames, "a thing")
+    n_pads = len(engine._pad_cache)
+    assert n_pads >= 1
+    h = engine._dispatch_video(frames, ["a thing"], fuse=False)
+    b = engine._collect_video(h)[0]
+    np.testing.assert_array_equal(a, b)
+    # same geometry -> no new pad buffer
+    engine.infer_video(frames, "a different thing")
+    assert len(engine._pad_cache) == n_pads
