@@ -36,6 +36,19 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent compile cache (same dir as conftest.py): repeated bench
+    runs skip recompiling unchanged programs where the backend honors it."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass  # older jax or remote-compile backend: cache is best-effort
+
+
 def build_model(backbone: str, dtype_name: str):
     import jax.numpy as jnp
 
@@ -157,10 +170,25 @@ def measure_engine(model, params, T: int, n_videos: int,
     )
     rng = np.random.RandomState(42)
     # uint8 frames are the shipped contract (eval datasets emit raw uint8;
-    # the engine normalizes on device); BENCH_ENGINE_DTYPE=float32 A/Bs the
-    # host-normalized float path
-    use_u8 = os.environ.get("BENCH_ENGINE_DTYPE", "uint8") == "uint8"
-    if use_u8:
+    # the engine normalizes on device). BENCH_ENGINE_DTYPE A/Bs the other
+    # input formats: float32 (host-normalized) and yuv420 (uint8 YUV420p
+    # planes, HALF the upload bytes — the serving-from-a-video-codec case,
+    # see inference.rgb_to_yuv420)
+    fmt = os.environ.get("BENCH_ENGINE_DTYPE", "uint8")
+    if fmt == "yuv420":
+        from neurips2023_soc_tpu.inference import rgb_to_yuv420
+
+        base_y, base_u, base_v = rgb_to_yuv420(
+            rng.randint(0, 256, (T, H, W, 3)).astype(np.uint8))
+
+        def make_items(seed0, n):
+            for i in range(n):
+                y = base_y.copy()
+                y[:, 0, 0] = (seed0 + i) % 256
+                y[:, 1, 0] = ((seed0 + i) // 256) % 256
+                yield dict(frames=(y, base_u, base_v), texts=texts,
+                           original_size=(H, W))
+    elif fmt == "uint8":
         base = rng.randint(0, 256, (T, H, W, 3)).astype(np.uint8)
 
         def make_items(seed0, n):
@@ -269,6 +297,7 @@ def measure_train(backbone: str, iters: int) -> float:
 
 
 def main():
+    _enable_compile_cache()
     T = int(os.environ.get("BENCH_FRAMES", 16))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     iters = int(os.environ.get("BENCH_ITERS", 10))
@@ -292,10 +321,33 @@ def main():
         params = init_params(model, T, 360, 640, 16)
         r = {"engine": measure_engine(model, params, T, n_videos)}
         if os.environ.get("BENCH_SKIP_PROXY") != "1":
-            r["proxy"] = measure_proxy(model, params, T, iters)
-        if backbone == backbones[0] and os.environ.get("BENCH_SKIP_MULTI") != "1":
-            r["multi8"] = measure_engine(model, params, T,
-                                         max(3, n_videos // 2), expressions=8)
+            try:
+                r["proxy"] = measure_proxy(model, params, T, iters)
+            except Exception as e:  # never lose the engine metric
+                r["proxy_error"] = str(e)
+        if backbone == backbones[0]:
+            if os.environ.get("BENCH_SKIP_MULTI") != "1":
+                try:
+                    r["multi8"] = measure_engine(
+                        model, params, T, max(3, n_videos // 2),
+                        expressions=8)
+                except Exception as e:
+                    r["multi8_error"] = str(e)
+            if os.environ.get("BENCH_SKIP_YUV") != "1":
+                # serving-from-a-video-codec input format: uint8 YUV420p
+                # planes, half the upload bytes of raw RGB (see
+                # inference.rgb_to_yuv420 / BENCH_NOTES.md roofline)
+                prev = os.environ.get("BENCH_ENGINE_DTYPE")
+                try:
+                    os.environ["BENCH_ENGINE_DTYPE"] = "yuv420"
+                    r["yuv420"] = measure_engine(model, params, T, n_videos)
+                except Exception as e:
+                    r["yuv420_error"] = str(e)
+                finally:
+                    if prev is None:
+                        os.environ.pop("BENCH_ENGINE_DTYPE", None)
+                    else:
+                        os.environ["BENCH_ENGINE_DTYPE"] = prev
         results[backbone] = r
         del model, params
 
@@ -337,6 +389,20 @@ def main():
             "speedup_vs_8_single_passes": round(
                 m8["pipelined"] / res["engine"]["pipelined"], 3),
         }
+    if "yuv420" in res:
+        yv = res["yuv420"]
+        record["engine_yuv420"] = {
+            # uint8 YUV420p plane input (half the upload bytes of raw RGB —
+            # the zero-extra-loss format when frames come from a video
+            # codec; see BENCH_NOTES.md "engine transfer roofline")
+            "pipelined_fps": round(yv["pipelined"], 3),
+            "sync_fps": round(yv["sync_per_call"], 3),
+            "vs_baseline": (round(yv["pipelined"] / base, 3)
+                            if base else None),
+        }
+    for err_key in ("proxy_error", "multi8_error", "yuv420_error"):
+        if err_key in res:
+            record[err_key] = res[err_key]
     if base and not measured and baselines.get("provisional"):
         record["baseline_provenance"] = (
             f"PROVISIONAL spec-derived A100 estimate ({base} fps, "

@@ -76,6 +76,49 @@ def _normalize_u8_in_graph(pixels, pad_mask):
     return jnp.where(pad_mask[..., None], 0.0, x)
 
 
+def _yuv420_to_normalized(y, u, v, pad_mask):
+    """YUV420p planes -> ImageNet-normalized RGB f32, zeroed on padding.
+
+    y: (T, B, H, W) uint8; u, v: (T, B, H//2, W//2) uint8 — JFIF full-range
+    BT.601 (the convention of JPEG and of `rgb_to_yuv420`). Chroma is
+    upsampled 2x nearest on device. Video codecs emit YUV420 natively, so a
+    serving pipeline that ships planes instead of RGB pays HALF the
+    host->device bytes (1.5 B/px vs 3) with no extra information loss — the
+    4:2:0 subsampling already happened in the codec; only the matrix
+    multiply moves from the host decoder onto the device."""
+    yf = y.astype(jnp.float32)
+    uf = jnp.repeat(jnp.repeat(u.astype(jnp.float32), 2, -2), 2, -1) - 128.0
+    vf = jnp.repeat(jnp.repeat(v.astype(jnp.float32), 2, -2), 2, -1) - 128.0
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    rgb = jnp.clip(jnp.stack([r, g, b], -1), 0.0, 255.0) / 255.0
+    x = (rgb - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
+    return jnp.where(pad_mask[..., None], 0.0, x)
+
+
+def rgb_to_yuv420(frames: np.ndarray):
+    """Host-side RGB -> YUV420p (JFIF full-range BT.601, 2x2 box-averaged
+    chroma). frames: (T, h, w, 3) uint8. Returns (y, u, v) uint8 planes with
+    u/v at ceil(h/2) x ceil(w/2). For RGB sources this is a lossy 4:2:0
+    subsample (like re-encoding); for video-file sources prefer the
+    decoder's own planes and skip this entirely."""
+    f = frames.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    yp = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    T, h, w = yp.shape
+    ph, pw = (-h) % 2, (-w) % 2
+    if ph or pw:  # edge-replicate to even dims before 2x2 averaging
+        cb = np.pad(cb, ((0, 0), (0, ph), (0, pw)), mode="edge")
+        cr = np.pad(cr, ((0, 0), (0, ph), (0, pw)), mode="edge")
+    cb = cb.reshape(T, (h + ph) // 2, 2, (w + pw) // 2, 2).mean((2, 4))
+    cr = cr.reshape(T, (h + ph) // 2, 2, (w + pw) // 2, 2).mean((2, 4))
+    to_u8 = lambda a: np.clip(np.rint(a), 0, 255).astype(np.uint8)  # noqa: E731
+    return to_u8(yp), to_u8(cb), to_u8(cr)
+
+
 def _finalize_masks(logits, q, *, H, W, fh, fw, oh, ow, want_probs, pack):
     """Device-side host-tail: gather query `q`'s stride-4 logits, upsample to
     the (H, W) bucket, crop to the resized content, resize to the ORIGINAL
@@ -161,27 +204,37 @@ class InferenceEngine:
             pred_boxes[:, 0]
 
     # ---------------- jitted clip programs ----------------
-    def _clip_program(self, u8: bool):
+    @staticmethod
+    def _decode_pixels(fmt: str, pixels, pad_mask):
+        """In-graph pixel decode per input format: 'f32' = dataset-normalized
+        frames as-is; 'u8' = raw uint8 RGB, normalize on device; 'yuv' =
+        (y, u, v) uint8 YUV420p planes (a pytree jit argument), convert +
+        normalize on device."""
+        if fmt == "u8":
+            return _normalize_u8_in_graph(pixels, pad_mask)
+        if fmt == "yuv":
+            return _yuv420_to_normalized(*pixels, pad_mask)
+        return pixels
+
+    def _clip_program(self, fmt: str):
         """All-query program: per-chunk scores + stride-4 mask logits for all
         queries. Trajectory selection happens on the host over the WHOLE
         video, matching reference infer_refytb.py:221-226 exactly even when
-        the video is processed in chunks. The u8 variant takes raw uint8
-        pixels and normalizes in-graph (see _normalize_u8_in_graph)."""
+        the video is processed in chunks."""
         model = self.model
 
         @jax.jit
         def run(params, pixels, pad_mask, ids, msk):
-            if u8:
-                pixels = _normalize_u8_in_graph(pixels, pad_mask)
+            pixels = InferenceEngine._decode_pixels(fmt, pixels, pad_mask)
             out = model.apply(params, pixels, pad_mask, ids, msk)
             return InferenceEngine._extract_outputs(out)
 
         return run
 
-    def _get_program(self, u8: bool = False):
-        key = "clip_u8" if u8 else "clip"
+    def _get_program(self, fmt: str = "f32"):
+        key = f"clip_{fmt}"
         if key not in self._jitted:
-            self._jitted[key] = self._clip_program(u8)
+            self._jitted[key] = self._clip_program(fmt)
         return self._jitted[key]
 
     def _get_finalize(self):
@@ -224,9 +277,9 @@ class InferenceEngine:
                                 pack=pack)
         return masks, jnp.take(boxes, q, axis=1)
 
-    def _get_sel_program(self, u8: bool):
+    def _get_sel_program(self, fmt: str):
         """Fused single-chunk program: forward + selection + finalize."""
-        key = "clip_sel_u8" if u8 else "clip_sel"
+        key = f"clip_sel_{fmt}"
         if key not in self._jitted:
             model = self.model
             pack = self.pack_masks
@@ -235,10 +288,9 @@ class InferenceEngine:
                      static_argnames=("fh", "fw", "oh", "ow", "want_probs"))
             def run_sel(params, pixels, pad_mask, ids, msk, t, *,
                         fh, fw, oh, ow, want_probs):
-                if u8:
-                    pixels = _normalize_u8_in_graph(pixels, pad_mask)
+                pixels = InferenceEngine._decode_pixels(fmt, pixels, pad_mask)
                 out = model.apply(params, pixels, pad_mask, ids, msk)
-                H, W = pixels.shape[2], pixels.shape[3]
+                H, W = pad_mask.shape[2], pad_mask.shape[3]
                 return InferenceEngine._select_and_finalize(
                     out, t, H=H, W=W, fh=fh, fw=fw, oh=oh, ow=ow,
                     want_probs=want_probs, pack=pack)
@@ -268,20 +320,19 @@ class InferenceEngine:
             self._jitted["head_sel"] = run_head_sel
         return self._jitted["head_sel"]
 
-    def _get_split_programs(self, u8: bool = False):
+    def _get_split_programs(self, fmt: str = "f32"):
         """Backbone / head stage pair for multi-expression inference: the
         backbone (text-independent, ~55% of the forward) runs once per video
         chunk; the head re-runs per expression on the SAME device-resident
         features. model.head(model.backbone_features(x)) == model(x) by
         construction (models/soc.py)."""
-        bb_key = "backbone_u8" if u8 else "backbone"
+        bb_key = f"backbone_{fmt}"
         if bb_key not in self._jitted:
             model = self.model
 
             @jax.jit
             def run_backbone(params, pixels, pad_mask):
-                if u8:
-                    pixels = _normalize_u8_in_graph(pixels, pad_mask)
+                pixels = InferenceEngine._decode_pixels(fmt, pixels, pad_mask)
                 return model.apply(params, pixels, pad_mask,
                                    method="backbone_features")
 
@@ -306,7 +357,11 @@ class InferenceEngine:
         trajectory: str = "video",
         return_boxes: bool = False,
     ) -> np.ndarray:
-        """frames: (T, h, w, 3) float32 normalized (resized, unpadded).
+        """frames: (T, h, w, 3) float32 ImageNet-normalized, (T, h, w, 3)
+        uint8 raw RGB (normalized on device; 4x smaller upload), or a
+        (y, u, v) tuple of uint8 YUV420p planes (converted + normalized on
+        device; half the upload of raw RGB — the natural format when frames
+        come from a video codec). All resized, unpadded.
 
         trajectory='video': one trajectory chosen from whole-video mean scores
         (reference infer_refytb.py:221-226); 'chunk': re-selected per chunk
@@ -361,14 +416,32 @@ class InferenceEngine:
         while pending:
             yield self._collect_video(pending.popleft())
 
-    def _pixel_buffer(self, clip: np.ndarray, T: int, H: int, W: int,
-                      fh: int, fw: int, u8: bool, dev):
-        """Bucket-padded pixel buffer, committed to this engine's device via
-        an explicit device_put (measurably faster than staging numpy through
-        the jit call on the tunneled runtime, and required for EnginePool's
-        per-device engines)."""
+    def _pixel_buffer(self, clip, T: int, H: int, W: int,
+                      fh: int, fw: int, fmt: str, dev):
+        """Bucket-padded pixel buffer(s), committed to this engine's device
+        via an explicit device_put (measurably faster than staging numpy
+        through the jit call on the tunneled runtime, and required for
+        EnginePool's per-device engines). For 'yuv', clip is (y, u, v)
+        planes and the result is a 3-tuple of device buffers (chroma at
+        half resolution — buckets are even by construction)."""
+        if fmt == "yuv":
+            yc, uc, vc = clip
+            t = yc.shape[0]
+
+            def plane(c, h, w, ch, cw):
+                buf = np.zeros((T, 1, h, w), np.uint8)
+                buf[:t, 0, :ch, :cw] = c
+                if t < T:
+                    buf[t:, 0, :ch, :cw] = c[-1]
+                return buf
+
+            bufs = (plane(yc, H, W, fh, fw),
+                    plane(uc, H // 2, W // 2, (fh + 1) // 2, (fw + 1) // 2),
+                    plane(vc, H // 2, W // 2, (fh + 1) // 2, (fw + 1) // 2))
+            return jax.device_put(bufs, dev)
         t = clip.shape[0]
-        pixels = np.zeros((T, 1, H, W, 3), np.uint8 if u8 else np.float32)
+        pixels = np.zeros((T, 1, H, W, 3),
+                          np.uint8 if fmt == "u8" else np.float32)
         pixels[:t, 0, :fh, :fw] = clip
         if t < T:  # repeat last frame into padding (content only)
             pixels[t:, 0, :fh, :fw] = clip[-1]
@@ -389,15 +462,29 @@ class InferenceEngine:
 
         Single-chunk videos take the FUSED path (selection + finalize inside
         the clip program — see _select_and_finalize); fuse=False forces the
-        generic chunked path (parity tests, score inspection)."""
-        T_total, fh, fw, _ = frames.shape
+        generic chunked path (parity tests, score inspection).
+
+        frames: (T, h, w, 3) float32 dataset-normalized, (T, h, w, 3) uint8
+        raw RGB (normalize on device, 4x smaller upload), or a (y, u, v)
+        tuple of uint8 YUV420p planes (convert + normalize on device, 8x
+        smaller upload than f32 — see _yuv420_to_normalized)."""
+        yuv = isinstance(frames, (tuple, list))
+        if yuv:
+            frames = tuple(frames)
+            T_total, fh, fw = frames[0].shape
+            fmt = "yuv"
+        else:
+            T_total, fh, fw, _ = frames.shape
+            # uint8 frames (raw resized pixels): normalize ON DEVICE — the
+            # transfer is 4x smaller and the numpy normalize pass disappears;
+            # float32 frames are the dataset-normalized contract
+            fmt = "u8" if frames.dtype == np.uint8 else "f32"
         H, W = pick_size_bucket(fh, fw, self.size_buckets)
+        if yuv and (H % 2 or W % 2):
+            raise ValueError(
+                f"YUV420 input needs even size buckets, got ({H}, {W})")
         toks = [self.tokenizer([t]) for t in texts]
         K = len(toks)
-        # uint8 frames (raw resized pixels): normalize ON DEVICE — the
-        # host->device transfer is 4x smaller and the numpy normalize pass
-        # disappears; float32 frames are the dataset-normalized contract
-        u8 = frames.dtype == np.uint8
         chunk = max(self.time_buckets)
         oh, ow = (original_size if original_size is not None else (fh, fw))
         oh, ow = int(oh), int(ow)
@@ -407,15 +494,15 @@ class InferenceEngine:
             # whole video in one chunk: selection + finalize fused in-graph
             t = T_total
             T = pick_time_bucket(t, self.time_buckets)
-            pixels = self._pixel_buffer(frames, T, H, W, fh, fw, u8, dev)
+            pixels = self._pixel_buffer(frames, T, H, W, fh, fw, fmt, dev)
             pad = self._get_pad(T, H, W, fh, fw, dev)
             stat = dict(fh=fh, fw=fw, oh=oh, ow=ow, want_probs=return_probs)
             tt = np.int32(t)
             if K == 1:
-                run = self._get_sel_program(u8)
+                run = self._get_sel_program(fmt)
                 outs = [run(self.params, pixels, pad, *toks[0], tt, **stat)]
             else:
-                run_bb = self._get_split_programs(u8)[0]
+                run_bb = self._get_split_programs(fmt)[0]
                 run_head = self._get_sel_head_program()
                 feats = run_bb(self.params, pixels, pad)
                 outs = [run_head(self.params, feats, pad, ids, msk, tt,
@@ -427,16 +514,20 @@ class InferenceEngine:
             )
 
         if K == 1:
-            run = self._get_program(u8)
+            run = self._get_program(fmt)
         else:
-            run_bb, run_head = self._get_split_programs(u8)
+            run_bb, run_head = self._get_split_programs(fmt)
 
         chunks = []  # (outs per text, t) — outs = (scores, logits, boxes)
         for start in range(0, T_total, chunk):
-            clip = frames[start : start + chunk]
-            t = clip.shape[0]
+            if yuv:
+                clip = tuple(p[start : start + chunk] for p in frames)
+                t = clip[0].shape[0]
+            else:
+                clip = frames[start : start + chunk]
+                t = clip.shape[0]
             T = pick_time_bucket(t, self.time_buckets)
-            pixels = self._pixel_buffer(clip, T, H, W, fh, fw, u8, dev)
+            pixels = self._pixel_buffer(clip, T, H, W, fh, fw, fmt, dev)
             pad = self._get_pad(T, H, W, fh, fw, dev)
             if K == 1:
                 outs = [run(self.params, pixels, pad, *toks[0])]
