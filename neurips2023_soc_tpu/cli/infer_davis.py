@@ -51,6 +51,8 @@ def main():
         text_encoder_type=config.text_encoder_type,
         text_bucket=config.get("text_bucket", 32),
         time_buckets=config.get("time_buckets"),
+        # 'yuv420' halves the host->device pixel bytes (inference.py)
+        pixel_format=config.get("pixel_format", "auto"),
     )
     import jax
 

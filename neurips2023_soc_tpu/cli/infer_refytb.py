@@ -67,6 +67,8 @@ def main():
         text_bucket=config.get("text_bucket", 32),
         time_buckets=config.get("time_buckets"),
         size_buckets=size_buckets,
+        # 'yuv420' halves the host->device pixel bytes (inference.py)
+        pixel_format=config.get("pixel_format", "auto"),
     )
     n_local = len(jax.local_devices())
     if n_local > 1:

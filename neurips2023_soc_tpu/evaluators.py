@@ -371,6 +371,8 @@ def build_ytvos_evaluator(model, config, dataset=None) -> Callable:
                 text_bucket=config.get("text_bucket", 32),
                 time_buckets=config.get("eval_time_buckets"),
                 size_buckets=((config.eval_short_size, config.eval_max_size),),
+                # 'yuv420' halves the host->device pixel bytes (inference.py)
+                pixel_format=config.get("pixel_format", "auto"),
             )
             # per-epoch eval saturates every local chip (training is paused
             # while it runs); one engine per device, videos fanned over

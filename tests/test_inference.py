@@ -386,3 +386,24 @@ def test_yuv420_input_parity(engine):
     rgb2 = rng.randint(0, 256, (7, 48, 64, 3), np.uint8)
     out = engine.infer_video(rgb_to_yuv420(rgb2), "a thing")
     assert out.shape == (7, 48, 64) and out.dtype == np.uint8
+
+
+def test_pixel_format_yuv420_option(engine):
+    """pixel_format='yuv420' converts incoming uint8 RGB to YUV420p planes
+    on the host before upload (half the bytes) — identical to converting
+    explicitly and passing the planes."""
+    from neurips2023_soc_tpu.inference import InferenceEngine, rgb_to_yuv420
+
+    eng = InferenceEngine(
+        engine.model, engine.params, text_encoder_type="roberta-tiny",
+        text_bucket=8, time_buckets=(4,), size_buckets=((48, 64),),
+        pixel_format="yuv420",
+    )
+    rgb = np.random.RandomState(21).randint(0, 256, (4, 48, 64, 3), np.uint8)
+    got = eng.infer_video(rgb, "a thing")
+    want = engine.infer_video(rgb_to_yuv420(rgb), "a thing")
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError):
+        InferenceEngine(engine.model, engine.params,
+                        text_encoder_type="roberta-tiny", text_bucket=8,
+                        pixel_format="bgr")
