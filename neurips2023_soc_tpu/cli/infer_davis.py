@@ -53,6 +53,8 @@ def main():
         time_buckets=config.get("time_buckets"),
         # 'yuv420' halves the host->device pixel bytes (inference.py)
         pixel_format=config.get("pixel_format", "auto"),
+        # shrink the DAVIS probability fetches ('bfloat16'/'uint8' opt-in)
+        probs_dtype=config.get("probs_dtype", "float32"),
     )
     import jax
 

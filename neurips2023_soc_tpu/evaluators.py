@@ -373,6 +373,7 @@ def build_ytvos_evaluator(model, config, dataset=None) -> Callable:
                 size_buckets=((config.eval_short_size, config.eval_max_size),),
                 # 'yuv420' halves the host->device pixel bytes (inference.py)
                 pixel_format=config.get("pixel_format", "auto"),
+                probs_dtype=config.get("probs_dtype", "float32"),
             )
             # per-epoch eval saturates every local chip (training is paused
             # while it runs); one engine per device, videos fanned over

@@ -119,13 +119,17 @@ def rgb_to_yuv420(frames: np.ndarray):
     return to_u8(yp), to_u8(cb), to_u8(cr)
 
 
-def _finalize_masks(logits, q, *, H, W, fh, fw, oh, ow, want_probs, pack):
+def _finalize_masks(logits, q, *, H, W, fh, fw, oh, ow, want_probs, pack,
+                    probs_dtype="float32"):
     """Device-side host-tail: gather query `q`'s stride-4 logits, upsample to
     the (H, W) bucket, crop to the resized content, resize to the ORIGINAL
     frame size, sigmoid (+ threshold unless probabilities are wanted).
     Matches reference infer_refytb.py:230-277 (bilinear to original size,
     then >0.5). With pack, thresholded masks are bit-packed 8 pixels/byte
-    along width (np.unpackbits layout, MSB first) so the fetch shrinks 8x."""
+    along width (np.unpackbits layout, MSB first) so the fetch shrinks 8x.
+    probs_dtype shrinks the PROBABILITY fetch (DAVIS multi-object merging):
+    'bfloat16' (2 B/px) or 'uint8' (1 B/px, prob*255 rounded) — opt-in
+    approximations; _collect_video converts back to float32 in [0, 1]."""
     sel = jnp.take(logits, q, axis=1).astype(jnp.float32)
     up = resize_bilinear(sel[..., None], H, W)[..., 0]
     content = up[:, :fh, :fw]
@@ -133,6 +137,10 @@ def _finalize_masks(logits, q, *, H, W, fh, fw, oh, ow, want_probs, pack):
         content = resize_bilinear(content[..., None], oh, ow)[..., 0]
     prob = jax.nn.sigmoid(jnp.clip(content, -30.0, 30.0))
     if want_probs:
+        if probs_dtype == "bfloat16":
+            return prob.astype(jnp.bfloat16)
+        if probs_dtype == "uint8":
+            return jnp.round(prob * 255.0).astype(jnp.uint8)
         return prob
     mask = (prob > 0.5).astype(jnp.uint8)
     if not pack:
@@ -151,7 +159,8 @@ class InferenceEngine:
                  time_buckets: Optional[Sequence[int]] = None,
                  size_buckets=((360, 640),),
                  pack_masks: bool = True,
-                 pixel_format: str = "auto"):
+                 pixel_format: str = "auto",
+                 probs_dtype: str = "float32"):
         """pack_masks: bit-pack thresholded masks on device (8 pixels/byte)
         and unpack with np.unpackbits after the fetch — 8x smaller
         device->host transfers for the final masks, bit-identical results
@@ -167,7 +176,14 @@ class InferenceEngine:
         bytes at the cost of 4:2:0 chroma subsampling — an approximation for
         RGB sources (opt-in; measured mask agreement > 99.9% on random
         inputs), a no-op information-wise when frames came from a video
-        codec to begin with."""
+        codec to begin with.
+
+        probs_dtype: wire format of return_probs fetches (the DAVIS
+        multi-object merging path). 'float32' (default, exact), 'bfloat16'
+        (2 B/px) or 'uint8' (1 B/px, prob*255 rounded) — opt-in
+        approximations that only matter when two objects' probabilities tie
+        within the quantization step at the same pixel; results are always
+        converted back to float32 in [0, 1]."""
         self.model = model
         self.params = params
         self.tokenizer = build_tokenizer(text_encoder_type, text_bucket)
@@ -177,8 +193,25 @@ class InferenceEngine:
         if pixel_format not in ("auto", "yuv420"):
             raise ValueError(f"unknown pixel_format: {pixel_format!r}")
         self.pixel_format = pixel_format
+        if probs_dtype not in ("float32", "bfloat16", "uint8"):
+            raise ValueError(f"unknown probs_dtype: {probs_dtype!r}")
+        self.probs_dtype = probs_dtype
         self._jitted = {}
         self._pad_cache = {}
+
+    def _fetch_output(self, dev_array, t: int, ow: int, want_probs: bool):
+        """Fetch one chunk's finalize output and convert to the public
+        contract: uint8 {0,1} masks (bit-unpacked when pack_masks) or
+        float32 probabilities in [0, 1] (converted back from the wire
+        probs_dtype)."""
+        m = np.asarray(dev_array)
+        if want_probs:
+            if self.probs_dtype == "uint8":
+                return m[:t].astype(np.float32) / 255.0
+            return m[:t].astype(np.float32)
+        if self.pack_masks:
+            return np.unpackbits(m, axis=-1)[:t, :, :ow]
+        return m[:t]
 
     def _device(self):
         """The device this engine's params are committed to (EnginePool pins
@@ -258,6 +291,7 @@ class InferenceEngine:
         negligible next to the model program's."""
         if "finalize" not in self._jitted:
             pack = self.pack_masks
+            pdt = self.probs_dtype
 
             @partial(jax.jit,
                      static_argnames=("H", "W", "fh", "fw", "oh", "ow",
@@ -266,14 +300,14 @@ class InferenceEngine:
                 # logits (T, Nq, h4, w4) bf16 device-resident; q traced scalar
                 return _finalize_masks(
                     logits, q, H=H, W=W, fh=fh, fw=fw, oh=oh, ow=ow,
-                    want_probs=want_probs, pack=pack)
+                    want_probs=want_probs, pack=pack, probs_dtype=pdt)
 
             self._jitted["finalize"] = finalize
         return self._jitted["finalize"]
 
     @staticmethod
     def _select_and_finalize(out, t, *, H, W, fh, fw, oh, ow, want_probs,
-                             pack):
+                             pack, probs_dtype="float32"):
         """In-graph single-chunk trajectory selection + finalize: when the
         whole video fits in one chunk, whole-video mean-score selection
         (reference infer_refytb.py:221-226) IS single-chunk selection, so
@@ -287,7 +321,7 @@ class InferenceEngine:
         q = jnp.argmax((scores * valid).sum(0) / t.astype(jnp.float32))
         masks = _finalize_masks(logits, q, H=H, W=W, fh=fh, fw=fw,
                                 oh=oh, ow=ow, want_probs=want_probs,
-                                pack=pack)
+                                pack=pack, probs_dtype=probs_dtype)
         return masks, jnp.take(boxes, q, axis=1)
 
     def _get_sel_program(self, fmt: str):
@@ -296,6 +330,7 @@ class InferenceEngine:
         if key not in self._jitted:
             model = self.model
             pack = self.pack_masks
+            pdt = self.probs_dtype
 
             @partial(jax.jit,
                      static_argnames=("fh", "fw", "oh", "ow", "want_probs"))
@@ -306,7 +341,7 @@ class InferenceEngine:
                 H, W = pad_mask.shape[2], pad_mask.shape[3]
                 return InferenceEngine._select_and_finalize(
                     out, t, H=H, W=W, fh=fh, fw=fw, oh=oh, ow=ow,
-                    want_probs=want_probs, pack=pack)
+                    want_probs=want_probs, pack=pack, probs_dtype=pdt)
 
             self._jitted[key] = run_sel
         return self._jitted[key]
@@ -318,6 +353,7 @@ class InferenceEngine:
         if "head_sel" not in self._jitted:
             model = self.model
             pack = self.pack_masks
+            pdt = self.probs_dtype
 
             @partial(jax.jit,
                      static_argnames=("fh", "fw", "oh", "ow", "want_probs"))
@@ -328,7 +364,7 @@ class InferenceEngine:
                 H, W = pad_mask.shape[2], pad_mask.shape[3]
                 return InferenceEngine._select_and_finalize(
                     out, t, H=H, W=W, fh=fh, fw=fw, oh=oh, ow=ow,
-                    want_probs=want_probs, pack=pack)
+                    want_probs=want_probs, pack=pack, probs_dtype=pdt)
 
             self._jitted["head_sel"] = run_head_sel
         return self._jitted["head_sel"]
@@ -571,12 +607,10 @@ class InferenceEngine:
         chosen trajectory's (T, 4) boxes when asked)."""
         if handle.get("fused"):
             t, oh, ow = handle["t"], handle["oh"], handle["ow"]
-            unpack = self.pack_masks and not handle["return_probs"]
             results = []
             for masks_dev, boxes_dev in handle["outs"]:
-                m = np.asarray(masks_dev)
-                m = (np.unpackbits(m, axis=-1)[:t, :, :ow]
-                     if unpack else m[:t])
+                m = self._fetch_output(masks_dev, t, ow,
+                                       handle["return_probs"])
                 if handle["return_boxes"]:
                     bx = np.asarray(boxes_dev)[:t].astype(np.float32)
                     results.append((m, _cxcywh_to_xyxy_pixels(bx, oh, ow)))
@@ -613,10 +647,9 @@ class InferenceEngine:
             # dispatch every chunk's finalize before fetching any (pipelined)
             outs = [finalize(lg, q, **stat)
                     for (lg, _), q in zip(logits_per[k], qs)]
-            unpack = self.pack_masks and not handle["return_probs"]
             masks = [
-                (np.unpackbits(np.asarray(m), axis=-1)[:t, :, :handle["ow"]]
-                 if unpack else np.asarray(m)[:t])
+                self._fetch_output(m, t, handle["ow"],
+                                   handle["return_probs"])
                 for m, (_, t) in zip(outs, logits_per[k])
             ]
             logits_per[k] = None  # release device logits promptly

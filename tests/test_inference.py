@@ -407,3 +407,28 @@ def test_pixel_format_yuv420_option(engine):
         InferenceEngine(engine.model, engine.params,
                         text_encoder_type="roberta-tiny", text_bucket=8,
                         pixel_format="bgr")
+
+
+def test_probs_dtype_wire_formats(engine):
+    """probs_dtype='bfloat16'/'uint8' shrink the probability fetch 2x/4x;
+    results convert back to float32 in [0, 1] within the quantization step
+    of the wire format (exact default stays float32)."""
+    from neurips2023_soc_tpu.inference import InferenceEngine
+
+    frames = np.random.RandomState(3).randn(4, 48, 64, 3).astype(np.float32)
+    want = engine.infer_video(frames, "a thing", return_probs=True)
+    kw = dict(text_encoder_type="roberta-tiny", text_bucket=8,
+              time_buckets=(4,), size_buckets=((48, 64),))
+    for dtype, atol in (("bfloat16", 4e-3), ("uint8", 1.0 / 509)):
+        eng = InferenceEngine(engine.model, engine.params,
+                              probs_dtype=dtype, **kw)
+        got = eng.infer_video(frames, "a thing", return_probs=True)
+        assert got.dtype == np.float32
+        assert got.min() >= 0.0 and got.max() <= 1.0
+        np.testing.assert_allclose(got, want, atol=atol)
+        # thresholded masks are NOT affected by probs_dtype
+        np.testing.assert_array_equal(
+            eng.infer_video(frames, "a thing"),
+            engine.infer_video(frames, "a thing"))
+    with pytest.raises(ValueError):
+        InferenceEngine(engine.model, engine.params, probs_dtype="f16", **kw)
