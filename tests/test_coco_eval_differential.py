@@ -7,7 +7,14 @@ evaluateImg/accumulate logic operating on dense masks — structured completely
 differently from the implementation under test — plus hand-derived exact AP
 values for the simplest cases. Covers the adversarial corners VERDICT r2
 named: crowd GT, break-on-ignored-gt, area-range ignores, score ties,
-detections on GT-less images, maxDets truncation."""
+detections on GT-less images, maxDets truncation.
+
+To close BASELINE.md obligations-ledger row 7 once pycocotools is
+installable: replace `_oracle_map` below with a thin adapter that feeds the
+same dense-mask cases through `pycocotools.cocoeval.COCOeval` (RLE-encode
+dets/gts via evaluation.rle, useCats=0, the IOU_THRS/RECALL_THRS/AREA_RNGS
+constants above match its defaults) and rerun this module unchanged — every
+property/fuzz case then differentials against the REAL implementation."""
 from collections import defaultdict
 
 import numpy as np
