@@ -428,13 +428,17 @@ def main():
                     measure_train(backbone, train_iters), 4)
             except Exception as e:  # never lose the inference metric
                 train[f"train_step_s_{key}"] = f"error: {e}"
-        tbase = baselines.get("ytvos_train_step_s_a100_provisional_swin_b")
+        # a measured key (obligations ledger row 2) overrides the estimate
+        tmeasured = baselines.get("ytvos_train_step_s_a100_swin_b")
+        tbase = tmeasured or baselines.get(
+            "ytvos_train_step_s_a100_provisional_swin_b")
         if tbase and isinstance(train.get("train_step_s_swin_b"), float):
             train["train_vs_baseline_swin_b"] = round(
                 tbase / train["train_step_s_swin_b"], 3)
-            train["train_baseline_provenance"] = (
-                f"PROVISIONAL spec-derived A100 estimate ({tbase} s/step) — "
-                "not a measurement")
+            if not tmeasured:
+                train["train_baseline_provenance"] = (
+                    f"PROVISIONAL spec-derived A100 estimate ({tbase} "
+                    "s/step) — not a measurement")
         record["train"] = train
 
     print(json.dumps(record))

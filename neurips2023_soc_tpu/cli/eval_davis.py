@@ -21,9 +21,16 @@ def _load_index_masks(d: str, frame_names) -> np.ndarray:
     return np.stack(masks)
 
 
-def _split_objects(index_masks: np.ndarray) -> np.ndarray:
-    ids = sorted(set(np.unique(index_masks)) - {0})
-    if not ids:
+def _split_objects(index_masks: np.ndarray, ids=None) -> np.ndarray:
+    """Index masks -> (n_obj, T, H, W) binary stack. `ids` fixes the object
+    order; default = ids present in the masks. Semi-supervised results MUST
+    be split by the GT's id list (reference davis2017 Results.read_masks
+    selects `masks == object_id` per GT id) — otherwise a prediction that
+    never emits some id silently shifts every later object onto the wrong
+    GT row."""
+    if ids is None:
+        ids = sorted(set(np.unique(index_masks)) - {0})
+    if not len(ids):
         return np.zeros((1,) + index_masks.shape, np.uint8)
     return np.stack([(index_masks == i).astype(np.uint8) for i in ids])
 
@@ -60,9 +67,18 @@ def main():
                 path.splitext(path.basename(p))[0]
                 for p in glob(path.join(gt_dir, seq, "*.png"))
             )
-            gt = _split_objects(_load_index_masks(path.join(gt_dir, seq), frames))
+            gt_masks = _load_index_masks(path.join(gt_dir, seq), frames)
+            gt_ids = sorted(set(np.unique(gt_masks)) - {0})
+            gt = _split_objects(gt_masks, gt_ids)
             res_dir = path.join(args.results_path, f"anno_{anno_id}", seq)
-            res = _split_objects(_load_index_masks(res_dir, frames))
+            res_masks = _load_index_masks(res_dir, frames)
+            # semi-supervised compares object k against GT object k: split
+            # results by the GT id list so a missing predicted id scores 0
+            # for ITS OWN row instead of shifting the stack; unsupervised
+            # Hungarian-matches, so result-present ids are correct there
+            res = _split_objects(
+                res_masks,
+                gt_ids if args.task == "semi-supervised" else None)
             seqs[seq] = (gt, res)
         result = evaluate_sequences(seqs, task=args.task)
         out = result["global"]

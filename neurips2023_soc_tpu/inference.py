@@ -11,11 +11,14 @@ final (T, oh, ow) masks — host transfer and peak host RAM no longer scale
 with Nq (reference infer_refytb.py:221-277 does all of this on the GPU->CPU
 boundary per frame). Only PNG/zip encoding runs on the host.
 
-Videos that fit in ONE chunk (T <= max bucket — every Ref-YTVOS valid video)
-go further: whole-video trajectory selection reduces to single-chunk
-selection, so the argmax AND the finalize fuse into the clip program itself —
-one dispatch, one fetch per (video, expression), no intermediate score/boxes
-round-trips. Host->device traffic is minimized structurally: the pad mask
+Whenever selection never crosses chunks — a video that fits one chunk
+(T <= max bucket: every Ref-YTVOS valid video) in either trajectory mode, or
+trajectory='chunk' at any length — the argmax fuses into the clip program
+and the finalize dispatches eagerly per chunk: one fetch per (video,
+expression), no intermediate score/boxes round-trips, and at most one
+chunk's all-query logits device-resident at a time. The chosen-query index
+stays a traced device scalar, so video geometry (content/original sizes)
+recompiles only the tiny finalize program, never the network. Host->device traffic is minimized structurally: the pad mask
 (geometry-only) is built once per bucket shape and cached device-resident,
 pixels ride an explicit `jax.device_put` (measurably faster than staging
 numpy through the jit call), and thresholded masks come back bit-packed
@@ -61,9 +64,11 @@ DAVIS_PALETTE = b"\x00\x00\x00\x80\x00\x00\x00\x80\x00\x80\x80\x00\x00\x00\x80\x
 # None); largest bucket = whole-video single-forward cap (HBM-bound)
 DEFAULT_TIME_BUCKETS = (8, 16, 32, 64)
 
-# ImageNet statistics (reference datasets/transforms.py Normalize defaults)
-_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# the SAME ImageNet statistics the dataset/collate host path normalizes
+# with (single source: the u8/yuv on-device normalize must stay
+# bit-compatible with data.collate.normalize_frames)
+from .data.collate import IMAGENET_MEAN as _IMAGENET_MEAN  # noqa: E402
+from .data.collate import IMAGENET_STD as _IMAGENET_STD  # noqa: E402
 
 
 def _normalize_u8_in_graph(pixels, pad_mask):
@@ -306,65 +311,50 @@ class InferenceEngine:
         return self._jitted["finalize"]
 
     @staticmethod
-    def _select_and_finalize(out, t, *, H, W, fh, fw, oh, ow, want_probs,
-                             pack, probs_dtype="float32"):
-        """In-graph single-chunk trajectory selection + finalize: when the
-        whole video fits in one chunk, whole-video mean-score selection
-        (reference infer_refytb.py:221-226) IS single-chunk selection, so
-        the argmax and the mask finalize fuse into the clip program — one
-        dispatch and one fetch per (video, expression), no intermediate
-        score/boxes round-trips. `t` (traced) masks time-padding rows out
-        of the score mean."""
+    def _select_in_graph(out, t):
+        """In-graph single-chunk trajectory selection: when selection spans
+        one chunk (a video that fits a bucket, or trajectory='chunk'),
+        whole-video mean-score selection (reference infer_refytb.py:221-226)
+        IS single-chunk selection, so the argmax fuses into the clip program
+        and the (T, Nq) scores never cross to the host. `t` (traced) masks
+        time-padding rows out of the score mean. Returns (logits, q,
+        sel_boxes) — all device-resident; `q` feeds the standalone finalize
+        program as a traced scalar, so video GEOMETRY (fh/fw/oh/ow) never
+        becomes a static of the full model program (each unique original
+        size recompiles only the tiny finalize, not the network)."""
         scores, logits, boxes = InferenceEngine._extract_outputs(out)
         T = scores.shape[0]
         valid = (jnp.arange(T) < t).astype(jnp.float32)[:, None]
         q = jnp.argmax((scores * valid).sum(0) / t.astype(jnp.float32))
-        masks = _finalize_masks(logits, q, H=H, W=W, fh=fh, fw=fw,
-                                oh=oh, ow=ow, want_probs=want_probs,
-                                pack=pack, probs_dtype=probs_dtype)
-        return masks, jnp.take(boxes, q, axis=1)
+        return logits, q, jnp.take(boxes, q, axis=1)
 
     def _get_sel_program(self, fmt: str):
-        """Fused single-chunk program: forward + selection + finalize."""
+        """Fused single-chunk program: forward + in-graph selection."""
         key = f"clip_sel_{fmt}"
         if key not in self._jitted:
             model = self.model
-            pack = self.pack_masks
-            pdt = self.probs_dtype
 
-            @partial(jax.jit,
-                     static_argnames=("fh", "fw", "oh", "ow", "want_probs"))
-            def run_sel(params, pixels, pad_mask, ids, msk, t, *,
-                        fh, fw, oh, ow, want_probs):
+            @jax.jit
+            def run_sel(params, pixels, pad_mask, ids, msk, t):
                 pixels = InferenceEngine._decode_pixels(fmt, pixels, pad_mask)
                 out = model.apply(params, pixels, pad_mask, ids, msk)
-                H, W = pad_mask.shape[2], pad_mask.shape[3]
-                return InferenceEngine._select_and_finalize(
-                    out, t, H=H, W=W, fh=fh, fw=fw, oh=oh, ow=ow,
-                    want_probs=want_probs, pack=pack, probs_dtype=pdt)
+                return InferenceEngine._select_in_graph(out, t)
 
             self._jitted[key] = run_sel
         return self._jitted[key]
 
     def _get_sel_head_program(self):
         """Fused single-chunk HEAD program for multi-expression inference:
-        per-expression selection + finalize on the shared device-resident
-        backbone features."""
+        per-expression selection on the shared device-resident backbone
+        features."""
         if "head_sel" not in self._jitted:
             model = self.model
-            pack = self.pack_masks
-            pdt = self.probs_dtype
 
-            @partial(jax.jit,
-                     static_argnames=("fh", "fw", "oh", "ow", "want_probs"))
-            def run_head_sel(params, features, pad_mask, ids, msk, t, *,
-                             fh, fw, oh, ow, want_probs):
+            @jax.jit
+            def run_head_sel(params, features, pad_mask, ids, msk, t):
                 out = model.apply(params, features, pad_mask, ids, msk,
                                   method="head")
-                H, W = pad_mask.shape[2], pad_mask.shape[3]
-                return InferenceEngine._select_and_finalize(
-                    out, t, H=H, W=W, fh=fh, fw=fw, oh=oh, ow=ow,
-                    want_probs=want_probs, pack=pack, probs_dtype=pdt)
+                return InferenceEngine._select_in_graph(out, t)
 
             self._jitted["head_sel"] = run_head_sel
         return self._jitted["head_sel"]
@@ -509,9 +499,11 @@ class InferenceEngine:
         here, so dispatch of the NEXT video can overlap this one's device
         compute (jax async dispatch).
 
-        Single-chunk videos take the FUSED path (selection + finalize inside
-        the clip program — see _select_and_finalize); fuse=False forces the
-        generic chunked path (parity tests, score inspection).
+        Whenever selection never crosses chunks (single-chunk video, or
+        trajectory='chunk' at any length) the FUSED path runs: selection
+        inside the clip program (_select_in_graph) + an eager per-chunk
+        finalize dispatch. fuse=False forces the generic chunked path
+        (parity tests, score inspection).
 
         frames: (T, h, w, 3) float32 dataset-normalized, (T, h, w, 3) uint8
         raw RGB (normalize on device, 4x smaller upload), or a (y, u, v)
@@ -543,29 +535,53 @@ class InferenceEngine:
         oh, ow = int(oh), int(ow)
         dev = self._device()
 
-        if fuse and T_total <= chunk:
-            # whole video in one chunk: selection + finalize fused in-graph
-            t = T_total
-            T = pick_time_bucket(t, self.time_buckets)
-            pixels = self._pixel_buffer(frames, T, H, W, fh, fw, fmt, dev)
-            pad = self._get_pad(T, H, W, fh, fw, dev)
-            stat = dict(fh=fh, fw=fw, oh=oh, ow=ow, want_probs=return_probs)
-            tt = np.int32(t)
-            if K == 1:
-                run = self._get_sel_program(fmt)
-                outs = [run(self.params, pixels, pad, *toks[0], tt, **stat)]
-            else:
-                run_bb = self._get_split_programs(fmt)[0]
-                run_head = self._get_sel_head_program()
-                feats = run_bb(self.params, pixels, pad)
-                outs = [run_head(self.params, feats, pad, ids, msk, tt,
-                                 **stat)
-                        for ids, msk in toks]
+        def clip_at(start):
+            if yuv:
+                c = tuple(p[start : start + chunk] for p in frames)
+                return c, c[0].shape[0]
+            c = frames[start : start + chunk]
+            return c, c.shape[0]
+
+        # Selection fuses in-graph whenever it never crosses chunks: a video
+        # that fits one chunk (either trajectory), or trajectory='chunk'
+        # (per-chunk re-selection, reference infer_davis.py:242-247). The
+        # finalize dispatches EAGERLY per chunk, so the all-query logits of
+        # at most one chunk are device-resident at a time and no scores or
+        # boxes ever cross to the host.
+        if fuse and (T_total <= chunk or trajectory == "chunk"):
+            finalize = self._get_finalize()
+            stat = dict(H=H, W=W, fh=fh, fw=fw, oh=oh, ow=ow,
+                        want_probs=return_probs)
+            per_text = [[] for _ in range(K)]
+            for start in range(0, T_total, chunk):
+                clip, t = clip_at(start)
+                T = pick_time_bucket(t, self.time_buckets)
+                pixels = self._pixel_buffer(clip, T, H, W, fh, fw, fmt, dev)
+                pad = self._get_pad(T, H, W, fh, fw, dev)
+                tt = np.int32(t)
+                if K == 1:
+                    run = self._get_sel_program(fmt)
+                    sels = [run(self.params, pixels, pad, *toks[0], tt)]
+                else:
+                    run_bb = self._get_split_programs(fmt)[0]
+                    run_head = self._get_sel_head_program()
+                    feats = run_bb(self.params, pixels, pad)
+                    sels = [run_head(self.params, feats, pad, ids, msk, tt)
+                            for ids, msk in toks]
+                for k, (logits, q, bx) in enumerate(sels):
+                    # q stays a traced device scalar; logits are free to be
+                    # dropped as soon as this dispatch is queued
+                    per_text[k].append((finalize(logits, q, **stat), bx, t))
             return dict(
-                fused=True, outs=outs, t=t, K=K, oh=oh, ow=ow,
+                fused=True, per_text=per_text, oh=oh, ow=ow,
                 return_probs=return_probs, return_boxes=return_boxes,
             )
 
+        # trajectory='video' across multiple chunks: selection needs the
+        # whole video's scores, so every chunk's all-query logits stay
+        # device-resident until _collect_video — HBM grows with video length
+        # (~37 MB per 64-frame 360p chunk per expression); use
+        # trajectory='chunk' for unbounded streams.
         if K == 1:
             run = self._get_program(fmt)
         else:
@@ -573,12 +589,7 @@ class InferenceEngine:
 
         chunks = []  # (outs per text, t) — outs = (scores, logits, boxes)
         for start in range(0, T_total, chunk):
-            if yuv:
-                clip = tuple(p[start : start + chunk] for p in frames)
-                t = clip[0].shape[0]
-            else:
-                clip = frames[start : start + chunk]
-                t = clip.shape[0]
+            clip, t = clip_at(start)
             T = pick_time_bucket(t, self.time_buckets)
             pixels = self._pixel_buffer(clip, T, H, W, fh, fw, fmt, dev)
             pad = self._get_pad(T, H, W, fh, fw, dev)
@@ -606,16 +617,20 @@ class InferenceEngine:
         happened in-graph, so the only fetch is the final masks (+ the
         chosen trajectory's (T, 4) boxes when asked)."""
         if handle.get("fused"):
-            t, oh, ow = handle["t"], handle["oh"], handle["ow"]
+            oh, ow = handle["oh"], handle["ow"]
             results = []
-            for masks_dev, boxes_dev in handle["outs"]:
-                m = self._fetch_output(masks_dev, t, ow,
-                                       handle["return_probs"])
+            for chunks_k in handle["per_text"]:
+                masks = [self._fetch_output(m, t, ow, handle["return_probs"])
+                         for m, _, t in chunks_k]
+                result = np.concatenate(masks, 0)
                 if handle["return_boxes"]:
-                    bx = np.asarray(boxes_dev)[:t].astype(np.float32)
-                    results.append((m, _cxcywh_to_xyxy_pixels(bx, oh, ow)))
+                    bx = np.concatenate(
+                        [np.asarray(b)[:t].astype(np.float32)
+                         for _, b, t in chunks_k], 0)
+                    results.append((result, _cxcywh_to_xyxy_pixels(bx, oh,
+                                                                   ow)))
                 else:
-                    results.append(m)
+                    results.append(result)
             return results
 
         finalize = self._get_finalize()
@@ -701,9 +716,31 @@ class EnginePool:
     dispatch is quick (async), and fetches release the GIL while the device
     runs. With one device this degrades to a single engine (no threads)."""
 
+    @staticmethod
+    def _local_replica(params):
+        """Multi-host trainers hold params as GLOBAL jax.Arrays replicated
+        over every process's devices; those are not fully addressable from
+        one process, so jax.device_put(params, local_device) would raise.
+        Under data-parallel replication the local shard IS the full value —
+        extract it (and loudly reject genuinely sharded leaves, which have
+        no single-device replica to pin)."""
+        def local(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                shard = x.addressable_data(0)
+                if shard.shape != x.shape:
+                    raise ValueError(
+                        "EnginePool needs replicated params; leaf of global "
+                        f"shape {x.shape} is sharded to {shard.shape} on "
+                        "this host — gather it before building the pool")
+                return shard
+            return x
+
+        return jax.tree_util.tree_map(local, params)
+
     def __init__(self, model, params, devices=None, **engine_kwargs):
         devices = list(devices if devices is not None else jax.local_devices())
         self.devices = devices
+        params = self._local_replica(params)
         self.engines = [
             InferenceEngine(model, jax.device_put(params, d), **engine_kwargs)
             for d in devices
@@ -712,6 +749,7 @@ class EnginePool:
     def update_params(self, params):
         """Refresh every engine's params replica (per-epoch eval during
         training: the trainer's current params are re-pinned per device)."""
+        params = self._local_replica(params)
         for eng, d in zip(self.engines, self.devices):
             eng.params = jax.device_put(params, d)
 

@@ -82,9 +82,10 @@ def test_chunked_vs_one_shot_deviation_quantified(model_and_params):
 
     # the deviation is real (chunked != one-shot) ...
     assert np.abs(p_chunk - p_whole).max() > 1e-6
-    # ... but bounded: same video, same selection protocol, overlapping masks
-    assert 0.0 <= iou <= 1.0
-    assert m_whole.any() or m_chunk.any() or True  # shapes/protocol sanity
+    # ... but both are live probability fields of the right shape (an
+    # all-empty/NaN output would be a degenerate regression, not deviation)
+    assert np.isfinite(p_chunk).all() and np.isfinite(p_whole).all()
+    assert p_chunk.std() > 0 and p_whole.std() > 0
     assert p_chunk.shape == p_whole.shape == (T, 48, 64)
 
 

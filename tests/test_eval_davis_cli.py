@@ -82,3 +82,45 @@ def test_eval_davis_cli(davis_tree, capsys, monkeypatch):
         if anno < 3:
             for r in srows:
                 assert float(r["J-Mean"]) > 0.99
+
+
+def test_eval_davis_semi_supervised_missing_id_alignment(tmp_path, capsys,
+                                                         monkeypatch):
+    """Semi-supervised protocol compares result object k against GT object
+    k BY ID (reference davis2017 Results.read_masks selects masks ==
+    object_id). A prediction that never emits id 1 must score ~0 for
+    object 1 and ~1 for a perfect object 2 — NOT silently shift object 2's
+    masks onto object 1's row."""
+    import csv
+
+    davis = tmp_path / "DAVIS"
+    results = tmp_path / "results"
+    frames = [f"{i:05d}" for i in range(4)]
+    (davis / "ImageSets" / "2017").mkdir(parents=True)
+    (davis / "ImageSets" / "2017" / "val.txt").write_text("seq_a\n")
+    gt_dir = davis / "Annotations" / "480p" / "seq_a"
+    gt_dir.mkdir(parents=True)
+    for anno in range(4):
+        (results / f"anno_{anno}" / "seq_a").mkdir(parents=True)
+    for f in frames:
+        gt = np.zeros((48, 64), np.uint8)
+        gt[8:24, 8:24] = 1
+        gt[30:44, 40:60] = 2
+        _save_palette(gt, gt_dir / f"{f}.png")
+        pred = np.where(gt == 2, 2, 0).astype(np.uint8)  # id 1 never emitted
+        for anno in range(4):
+            _save_palette(pred, results / f"anno_{anno}" / "seq_a" / f"{f}.png")
+
+    from neurips2023_soc_tpu.cli.eval_davis import main
+
+    monkeypatch.setattr(sys, "argv", [
+        "eval_davis", "--davis_path", str(davis),
+        "--results_path", str(results), "--set", "val",
+        "--task", "semi-supervised",
+    ])
+    main()
+    with open(results / "anno_0" / "per-sequence_results-val.csv") as f:
+        rows = {r["Sequence"]: float(r["J-Mean"])
+                for r in csv.DictReader(f)}
+    assert rows["seq_a_1"] < 0.01  # missing id scores zero on ITS row
+    assert rows["seq_a_2"] > 0.99  # present id still scores on its own row

@@ -432,3 +432,35 @@ def test_probs_dtype_wire_formats(engine):
             engine.infer_video(frames, "a thing"))
     with pytest.raises(ValueError):
         InferenceEngine(engine.model, engine.params, probs_dtype="f16", **kw)
+
+
+def test_chunk_trajectory_fused_parity(engine):
+    """trajectory='chunk' selection never crosses chunks, so MULTI-chunk
+    videos also run the fused per-chunk path (eager finalize: at most one
+    chunk's all-query logits device-resident, zero score/boxes fetches).
+    Must match the legacy fuse=False computation exactly."""
+    frames = np.random.RandomState(17).randn(7, 48, 64, 3).astype(np.float32)
+    fm, fb = engine.infer_video(frames, "a thing", trajectory="chunk",
+                                return_boxes=True)
+    h = engine._dispatch_video(frames, ["a thing"], trajectory="chunk",
+                               return_boxes=True, fuse=False)
+    lm, lb = engine._collect_video(h)[0]
+    np.testing.assert_array_equal(fm, lm)
+    np.testing.assert_allclose(fb, lb, atol=1e-5)
+
+
+def test_no_model_recompile_across_geometries(engine):
+    """Video geometry (content fh/fw, original oh/ow) must never be a
+    static of the FULL model program — only the tiny standalone finalize
+    recompiles per unique geometry (review finding: fh/fw/oh/ow statics on
+    the fused program recompiled the whole network per original size)."""
+    rs = np.random.RandomState(19)
+    engine.infer_video(rs.randn(4, 48, 64, 3).astype(np.float32), "a thing",
+                       original_size=(96, 128))
+    sel = engine._jitted["clip_sel_f32"]
+    n0 = sel._cache_size()
+    assert n0 >= 1
+    # different content extent AND original size, same bucket
+    engine.infer_video(rs.randn(4, 40, 56, 3).astype(np.float32), "a thing",
+                       original_size=(70, 101))
+    assert sel._cache_size() == n0
