@@ -509,6 +509,9 @@ class InferenceEngine:
         raw RGB (normalize on device, 4x smaller upload), or a (y, u, v)
         tuple of uint8 YUV420p planes (convert + normalize on device, 8x
         smaller upload than f32 — see _yuv420_to_normalized)."""
+        if trajectory not in ("video", "chunk"):
+            raise ValueError(f"unknown trajectory: {trajectory!r} "
+                             "(expected 'video' or 'chunk')")
         if (self.pixel_format == "yuv420"
                 and isinstance(frames, np.ndarray)
                 and frames.dtype == np.uint8):

@@ -434,6 +434,12 @@ def test_probs_dtype_wire_formats(engine):
         InferenceEngine(engine.model, engine.params, probs_dtype="f16", **kw)
 
 
+def test_unknown_trajectory_rejected(engine):
+    frames = np.zeros((2, 48, 64, 3), np.float32)
+    with pytest.raises(ValueError, match="trajectory"):
+        engine.infer_video(frames, "a thing", trajectory="Video")
+
+
 def test_chunk_trajectory_fused_parity(engine):
     """trajectory='chunk' selection never crosses chunks, so MULTI-chunk
     videos also run the fused per-chunk path (eager finalize: at most one
