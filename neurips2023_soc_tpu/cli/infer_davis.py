@@ -14,6 +14,7 @@ from ..config import add_config_args, config_from_args
 from ..data.davis import ReferDAVISDataset
 from ..inference import (
     InferenceEngine,
+    eval_size_buckets,
     group_davis_annotator_order,
     merge_davis_annotator,
     save_davis_annotator_masks,
@@ -51,6 +52,10 @@ def main():
         text_encoder_type=config.text_encoder_type,
         text_bucket=config.get("text_bucket", 32),
         time_buckets=config.get("time_buckets"),
+        size_buckets=tuple(tuple(b) for b in (
+            config.get("eval_size_buckets")
+            or eval_size_buckets(config.eval_short_size,
+                                 config.eval_max_size))),
         # 'yuv420' halves the host->device pixel bytes (inference.py)
         pixel_format=config.get("pixel_format", "auto"),
         # shrink the DAVIS probability fetches ('bfloat16'/'uint8' opt-in)

@@ -15,7 +15,7 @@ import numpy as np
 from ..config import add_config_args, config_from_args
 from ..data.refer_youtube_vos import ReferYouTubeVOSDataset
 from ..evaluators import evaluate_refer_youtube_vos
-from ..inference import InferenceEngine, shard_videos
+from ..inference import InferenceEngine, eval_size_buckets, shard_videos
 from ..models import build_model
 
 
@@ -52,8 +52,9 @@ def main():
     model = build_model(config)
     s0 = dataset[0]
     T0 = min(8, s0["frames"].shape[0])
-    size_buckets = tuple(tuple(b) for b in
-                         (config.get("eval_size_buckets") or ((360, 640),)))
+    size_buckets = tuple(tuple(b) for b in (
+        config.get("eval_size_buckets")
+        or eval_size_buckets(config.eval_short_size, config.eval_max_size)))
     H0, W0 = size_buckets[0]
     sample = (
         np.zeros((T0, 1, H0, W0, 3), np.float32),

@@ -71,10 +71,16 @@ def make_batch_iterator(dataset, config, tokenizer, num_hosts=None,
     from ..data.sampler import ShardedEpochSampler
     from ..utils.prefetch import parallel_map
 
-    # one static (T, H, W) bucket derived from the training transform sizes
-    # keeps every epoch on a single compiled program (pretrain overrides the
-    # time bucket to 1: its samples are single frames)
-    size_buckets = ((config.train_short_size, config.train_max_size),)
+    # (T, H, W) buckets derived from the training transform sizes: landscape
+    # batches stay on one compiled program; the transposed and square buckets
+    # exist for portrait samples / mixed-orientation batches (the reference's
+    # NestedTensor pads those to the batch max dynamically, misc.py:143-160)
+    # and compile lazily only if such a batch occurs. Pretrain overrides the
+    # time bucket to 1: its samples are single frames.
+    from ..utils.padded import train_size_buckets
+
+    size_buckets = train_size_buckets(config.train_short_size,
+                                      config.train_max_size)
     time_buckets = time_buckets or (config.window_size,)
     num_hosts = num_hosts if num_hosts is not None else jax.process_count()
     host_id = host_id if host_id is not None else jax.process_index()
@@ -110,6 +116,14 @@ def _eval_tk(config):
                 eval_max_size=config.eval_max_size)
 
 
+def _eval_size_buckets(config):
+    """Eval-batch size buckets: both orientations + the square bucket for
+    batches that mix them (eval_batch_size > 1)."""
+    from ..utils.padded import train_size_buckets
+
+    return train_size_buckets(config.eval_short_size, config.eval_max_size)
+
+
 def build_a2d_style_val_dataset(config):
     """The A2D/JHMDB val split (shared by the per-epoch evaluator and the
     '-rm pred' visualizer — keep construction in ONE place)."""
@@ -141,6 +155,7 @@ def build_evaluator(config, tokenizer, model=None):
         val = build_a2d_style_val_dataset(config)
         return build_a2d_evaluator(
             val, tokenizer, eval_batch_size=config.eval_batch_size,
+            collate_kwargs=dict(size_buckets=_eval_size_buckets(config)),
             # reference config keys (trainer.py:306, create_gt_in_coco_format)
             calculate_pr=config.get("calculate_precision_and_iou_metrics",
                                     True),
@@ -218,7 +233,8 @@ def main():
         out_dir = (config.get("output_dir") or "outputs") + "/visualize"
         n = run_predict_visualize(
             trainer._forward, trainer._state.params, val, tokenizer, out_dir,
-            eval_batch_size=config.eval_batch_size)
+            eval_batch_size=config.eval_batch_size,
+            collate_kwargs=dict(size_buckets=_eval_size_buckets(config)))
         print(f"wrote {n} visualizations to {out_dir}")
     else:
         raise ValueError(f"use infer_refytb/infer_davis for {args.running_mode}")

@@ -11,6 +11,7 @@ from ..config import add_config_args, config_from_args
 from ..data.coco_ref import ConcatClipDataset, RefCOCOClipDataset
 from ..models.text_encoder import build_tokenizer
 from ..training.trainer import Trainer
+from ..utils.padded import train_size_buckets
 from .main import make_batch_iterator
 
 REFCOCO_ANN_FILES = {
@@ -65,7 +66,10 @@ def build_pretrain_evaluate_fn(config, tokenizer):
     return build_pretrain_evaluator(
         val_sets, tokenizer,
         eval_batch_size=config.eval_batch_size,
-        size_buckets=((config.eval_short_size, config.eval_max_size),),
+        # COCO val images mix orientations within an eval batch; the square
+        # bucket absorbs mixed batches (train_size_buckets docstring)
+        size_buckets=train_size_buckets(config.eval_short_size,
+                                        config.eval_max_size),
     )
 
 

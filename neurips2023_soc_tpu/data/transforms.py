@@ -34,13 +34,20 @@ def size_with_aspect_ratio(h: int, w: int, size: int,
         if max_orig / min_orig * size > max_size:
             size = int(round(max_size * min_orig / max_orig))
     if (w <= h and w == size) or (h <= w and h == size):
-        return h, w
-    if w < h:
+        oh, ow = h, w
+    elif w < h:
         ow = size
         oh = int(size * h / w)
     else:
         oh = size
         ow = int(size * w / h)
+    if max_size is not None:
+        # the rounded size adjustment can overshoot max_size by a few pixels
+        # at extreme aspect ratios (reference transforms.py:186-205 has the
+        # same arithmetic; its dynamic NestedTensor padding absorbs the
+        # overshoot, misc.py:143-160, while static size buckets cannot) —
+        # cap both dims so resized frames always fit the derived buckets
+        oh, ow = min(oh, max_size), min(ow, max_size)
     return oh, ow
 
 

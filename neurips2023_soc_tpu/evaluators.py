@@ -346,6 +346,7 @@ def build_ytvos_evaluator(model, config, dataset=None) -> Callable:
     from pathlib import Path
 
     from .inference import InferenceEngine
+    from .inference import eval_size_buckets as _eval_size_buckets
 
     state: Dict = {"ds": dataset}
 
@@ -370,7 +371,10 @@ def build_ytvos_evaluator(model, config, dataset=None) -> Callable:
                 text_encoder_type=config.text_encoder_type,
                 text_bucket=config.get("text_bucket", 32),
                 time_buckets=config.get("eval_time_buckets"),
-                size_buckets=((config.eval_short_size, config.eval_max_size),),
+                # both orientations: portrait valid videos resize to
+                # (<=max, short) and need the transposed bucket
+                size_buckets=_eval_size_buckets(config.eval_short_size,
+                                                config.eval_max_size),
                 # 'yuv420' halves the host->device pixel bytes (inference.py)
                 pixel_format=config.get("pixel_format", "auto"),
                 probs_dtype=config.get("probs_dtype", "float32"),

@@ -64,6 +64,11 @@ DAVIS_PALETTE = b"\x00\x00\x00\x80\x00\x00\x00\x80\x00\x80\x80\x00\x00\x00\x80\x
 # None); largest bucket = whole-video single-forward cap (HBM-bound)
 DEFAULT_TIME_BUCKETS = (8, 16, 32, 64)
 
+
+# re-exported: CLIs derive their engine size buckets from the eval resize
+# sizes through this (portrait videos route to the transposed bucket)
+from .utils.padded import eval_size_buckets  # noqa: E402, F401
+
 # the SAME ImageNet statistics the dataset/collate host path normalizes
 # with (single source: the u8/yuv on-device normalize must stay
 # bit-compatible with data.collate.normalize_frames)

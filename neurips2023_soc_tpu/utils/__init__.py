@@ -11,7 +11,9 @@ from .padded import (
     DEFAULT_SIZE_BUCKETS,
     DEFAULT_TIME_BUCKETS,
     batch_videos,
+    eval_size_buckets,
     pad_instances,
     pick_size_bucket,
     pick_time_bucket,
+    train_size_buckets,
 )

@@ -31,20 +31,56 @@ DEFAULT_SIZE_BUCKETS: Tuple[Tuple[int, int], ...] = (
 DEFAULT_TIME_BUCKETS: Tuple[int, ...] = (1, 8, 16, 32, 64)
 
 
+def eval_size_buckets(
+    short_size: int, max_size: int
+) -> Tuple[Tuple[int, int], ...]:
+    """Size buckets covering BOTH orientations of eval-resized frames.
+
+    The eval transforms resize the short side to `short_size` with the long
+    side capped at `max_size`, so every resized frame fits (short, max) when
+    landscape/square and (max, short) when portrait. The reference's dynamic
+    NestedTensor padding absorbs either orientation implicitly
+    (misc.py:143-160); static XLA buckets must enumerate both. Programs
+    compile lazily per bucket geometry, so the portrait bucket costs nothing
+    until a portrait video actually shows up."""
+    if short_size == max_size:
+        return ((short_size, max_size),)
+    return ((short_size, max_size), (max_size, short_size))
+
+
+def train_size_buckets(
+    short_size: int, max_size: int
+) -> Tuple[Tuple[int, int], ...]:
+    """eval_size_buckets plus the (max, max) square: a BATCH that mixes
+    portrait and landscape samples pads to the per-dim max over the batch —
+    exactly what the reference's NestedTensor does (misc.py:143-160) — and
+    only the square bucket absorbs that. Lazily compiled like the rest, so
+    single-orientation corpora never pay for it."""
+    if short_size == max_size:
+        return ((short_size, max_size),)
+    return ((short_size, max_size), (max_size, short_size),
+            (max_size, max_size))
+
+
 def pick_size_bucket(
     h: int, w: int, buckets: Sequence[Tuple[int, int]] = DEFAULT_SIZE_BUCKETS
 ) -> Tuple[int, int]:
     for bh, bw in buckets:
         if h <= bh and w <= bw:
             return bh, bw
-    return buckets[-1]
+    raise ValueError(
+        f"frame size ({h}, {w}) exceeds every size bucket {tuple(buckets)}; "
+        "resize the frames first (the CLIs resize to the training short side) "
+        "or pass larger size_buckets")
 
 
 def pick_time_bucket(t: int, buckets: Sequence[int] = DEFAULT_TIME_BUCKETS) -> int:
     for bt in buckets:
         if t <= bt:
             return bt
-    return buckets[-1]
+    raise ValueError(
+        f"clip length {t} exceeds every time bucket {tuple(buckets)}; "
+        "chunk the video (InferenceEngine does) or pass larger time_buckets")
 
 
 def batch_videos(

@@ -137,6 +137,47 @@ def test_group_davis_annotator_order():
         group_davis_annotator_order(list(range(6)))
 
 
+def test_eval_size_buckets_cover_both_orientations():
+    from neurips2023_soc_tpu.inference import eval_size_buckets
+    from neurips2023_soc_tpu.utils.padded import pick_size_bucket
+
+    buckets = eval_size_buckets(360, 640)
+    assert buckets == ((360, 640), (640, 360))
+    assert pick_size_bucket(360, 640, buckets) == (360, 640)  # landscape
+    assert pick_size_bucket(391, 360, buckets) == (640, 360)  # portrait
+    assert pick_size_bucket(360, 360, buckets) == (360, 640)  # square
+    assert eval_size_buckets(416, 416) == ((416, 416),)
+
+
+def test_portrait_video_inference(engine):
+    """A portrait video (resized long-side-vertical, the orientation the
+    reference's dynamic NestedTensor padding absorbs implicitly) must route
+    to the transposed size bucket and produce output identical to an engine
+    whose ONLY bucket is the portrait one."""
+    frames = np.random.RandomState(9).randn(3, 60, 44, 3).astype(np.float32)
+
+    both = InferenceEngine(
+        engine.model, engine.params, text_encoder_type="roberta-tiny",
+        text_bucket=8, time_buckets=(4,), size_buckets=((48, 64), (64, 48)),
+    )
+    got = both.infer_video(frames, "a thing", original_size=(120, 88),
+                           return_probs=True)
+    assert got.shape == (3, 120, 88)
+
+    portrait_only = InferenceEngine(
+        engine.model, engine.params, text_encoder_type="roberta-tiny",
+        text_bucket=8, time_buckets=(4,), size_buckets=((64, 48),),
+    )
+    want = portrait_only.infer_video(frames, "a thing",
+                                     original_size=(120, 88),
+                                     return_probs=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # landscape frames through the same two-bucket engine still work
+    land = np.random.RandomState(10).randn(3, 44, 60, 3).astype(np.float32)
+    assert both.infer_video(land, "a thing").shape == (3, 44, 60)
+
+
 def test_shard_videos():
     items = list(range(10))
     s0 = shard_videos(items, num_shards=3, shard_id=0)
