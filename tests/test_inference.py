@@ -496,6 +496,44 @@ def test_chunk_trajectory_fused_parity(engine):
     np.testing.assert_allclose(fb, lb, atol=1e-5)
 
 
+def test_engine_geometry_corner_sweep(engine):
+    """Fused-vs-unfused parity across geometry corners in one sweep: odd
+    content dims (bit-packing pads width to a byte multiple), time padding
+    (t < bucket), original-size DOWNsizing, full-bucket content, and odd
+    content under YUV420 (chroma planes at ceil(dim/2), replicate-padded).
+    Catches any corner where the fused single-chunk program and the generic
+    chunked path could diverge."""
+    from neurips2023_soc_tpu.inference import rgb_to_yuv420
+
+    rs = np.random.RandomState(23)
+    cases = [
+        # (t, fh, fw, (oh, ow), fmt, probs)
+        (3, 47, 63, (94, 126), "u8", False),   # odd dims, packed masks
+        (4, 33, 64, (20, 40), "f32", True),    # full width, downsized probs
+        (2, 45, 59, (90, 118), "yuv", False),  # odd dims through YUV420
+        (4, 48, 64, (48, 64), "yuv", True),    # full bucket through YUV420
+    ]
+    for t, fh, fw, osize, fmt, probs in cases:
+        if fmt == "f32":
+            frames = rs.randn(t, fh, fw, 3).astype(np.float32)
+        else:
+            rgb = rs.randint(0, 256, (t, fh, fw, 3)).astype(np.uint8)
+            frames = rgb_to_yuv420(rgb) if fmt == "yuv" else rgb
+        fused = engine.infer_video_multi(
+            frames, ["a thing"], original_size=osize, return_probs=probs)[0]
+        h = engine._dispatch_video(
+            frames, ["a thing"], original_size=osize, return_probs=probs,
+            fuse=False)
+        legacy = engine._collect_video(h)[0]
+        assert fused.shape == (t,) + osize, (fmt, fused.shape)
+        if probs:
+            np.testing.assert_allclose(fused, legacy, rtol=1e-5, atol=1e-5,
+                                       err_msg=str((t, fh, fw, osize, fmt)))
+        else:
+            np.testing.assert_array_equal(fused, legacy)
+            assert fused.dtype == np.uint8 and set(np.unique(fused)) <= {0, 1}
+
+
 def test_no_model_recompile_across_geometries(engine):
     """Video geometry (content fh/fw, original oh/ow) must never be a
     static of the FULL model program — only the tiny standalone finalize
