@@ -207,13 +207,12 @@ def test_box_rescale_content_smaller_than_bucket():
     bucket — regression for an extra W/fw over-scale that only showed when
     the content did not fill the size bucket (e.g. 4:3 video in a 16:9
     bucket)."""
-    from neurips2023_soc_tpu.inference import _rescale_boxes
+    from neurips2023_soc_tpu.inference import _cxcywh_to_xyxy_pixels
 
-    t, nq = 2, 3
-    boxes = np.zeros((t, nq, 4), np.float32)
-    boxes[:, 1] = [0.5, 0.5, 0.5, 0.5]  # centered half-extent box, query 1
+    t = 2
+    boxes = np.tile(np.array([0.5, 0.5, 0.5, 0.5], np.float32), (t, 1))
     oh, ow = 96, 128  # original is 2x the resized content
-    got = _rescale_boxes([boxes], [1], oh, ow)
+    got = _cxcywh_to_xyxy_pixels(boxes, oh, ow)
     want = np.array([[0.25 * ow, 0.25 * oh, 0.75 * ow, 0.75 * oh]] * t,
                     np.float32)
     np.testing.assert_allclose(got, want, atol=1e-5)
@@ -494,6 +493,46 @@ def test_chunk_trajectory_fused_parity(engine):
     lm, lb = engine._collect_video(h)[0]
     np.testing.assert_array_equal(fm, lm)
     np.testing.assert_allclose(fb, lb, atol=1e-5)
+
+
+def test_multichunk_video_selection_on_device(engine):
+    """Multi-chunk trajectory='video' selects the trajectory ON DEVICE
+    (masked per-chunk score sums + argmax, zero score fetches). Must match
+    a host-numpy transcription of the reference protocol — fetch every
+    chunk's scores, mean over all real frames, argmax
+    (infer_refytb.py:221-226) — including the boxes of the chosen query."""
+    rs = np.random.RandomState(31)
+    frames = rs.randn(7, 48, 64, 3).astype(np.float32)  # chunks of 4 + 3
+    got, got_boxes = engine.infer_video(
+        frames, "a thing", return_probs=True, return_boxes=True)
+
+    # independent host-side oracle over the raw all-query clip program
+    ids, msk = engine.tokenizer(["a thing"])
+    run = engine._get_program("f32")
+    scores, logits, boxes = [], [], []
+    for start, t in ((0, 4), (4, 3)):
+        clip = frames[start : start + t]
+        px = engine._pixel_buffer(clip, 4, 48, 64, 48, 64, "f32", None)
+        pad = engine._get_pad(4, 48, 64, 48, 64, None)
+        sc, lg, bx = run(engine.params, px, pad, ids, msk)
+        scores.append(np.asarray(sc)[:t])
+        logits.append(np.asarray(lg).astype(np.float32)[:t])
+        boxes.append(np.asarray(bx).astype(np.float32)[:t])
+    q = int(np.concatenate(scores, 0).mean(0).argmax())
+    import jax.numpy as jnp
+
+    from neurips2023_soc_tpu.inference import _cxcywh_to_xyxy_pixels
+    from neurips2023_soc_tpu.ops import resize_bilinear
+
+    up = np.concatenate([
+        np.asarray(resize_bilinear(
+            jnp.asarray(lg[:, q])[..., None], 48, 64))[..., 0]
+        for lg in logits], 0)
+    want = 1.0 / (1.0 + np.exp(-np.clip(up, -30.0, 30.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    want_boxes = _cxcywh_to_xyxy_pixels(
+        np.concatenate(boxes, 0)[:, q], 48, 64)
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=1e-4)
 
 
 def test_engine_geometry_corner_sweep(engine):
