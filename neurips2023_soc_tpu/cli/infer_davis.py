@@ -85,7 +85,7 @@ def main():
     vids = shard_videos(sorted(by_video.keys()))
     by_video = {v: by_video[v] for v in vids}
 
-    from ..utils.prefetch import prefetch
+    from ..inference import run_videos_pipelined
 
     t0 = time.time()
     # The converted meta_expressions layout is OBJECT-major: exp id
@@ -97,24 +97,27 @@ def main():
     videos = []
     for video_id, idxs in by_video.items():
         idxs = sorted(idxs, key=lambda i: int(dataset.samples_list[i][2]["exp_id"]))
-        videos.append((video_id, group_davis_annotator_order(idxs)))
+        videos.append({"video_id": video_id,
+                       "order": group_davis_annotator_order(idxs)})
 
-    def process_video(eng, work):
-        """One video end-to-end on one engine: decode (unless prefetched),
-        infer all expressions, merge + write all four annotators' PNGs."""
-        video_id, order, s = work
-        num_obj = len(order) // 4
-        if s is None:
-            s = dataset[order[0]]
-        meta = s["video_metadata"]
-        frame_names = meta["frame_indices"]
-        texts = [dataset.get_text(i) for i in order]
-        all_probs = eng.infer_video_multi(
-            s["frames"], texts,
-            original_size=meta["original_frame_size"],
+    def item_fn(w):
+        """Decode one video (frames shared by ALL its expressions; the
+        pipelined loop overlaps this with the previous video's compute)."""
+        s = dataset[w["order"][0]]
+        w["frame_names"] = s["video_metadata"]["frame_indices"]
+        return dict(
+            frames=s["frames"],
+            texts=[dataset.get_text(i) for i in w["order"]],
+            original_size=s["video_metadata"]["original_frame_size"],
             return_probs=True,
             trajectory="chunk",  # reference infer_davis.py:242-247
         )
+
+    def post_fn(w, all_probs):
+        """Merge + write all four annotators' PNGs for one video (runs
+        while the next video computes on device)."""
+        video_id, frame_names = w["video_id"], w["frame_names"]
+        num_obj = len(w["order"]) // 4
         # decode each original JPEG once per VIDEO (all four annotators
         # overlay the same pixels)
         raw_frames = None
@@ -148,18 +151,10 @@ def main():
                     ).save(vd / f"{name}.png")
         print(f"{video_id}: done ({time.time() - t0:.1f}s elapsed)")
 
-    if pool is not None:
-        # one engine per chip; each worker decodes its own frames
-        pool.map_videos([(vid, order, None) for vid, order in videos],
-                        process_video)
-    else:
-        # decode the next video's frames while the chip runs this one;
-        # frames decode ONCE per video — all expressions share them, and
-        # infer_video_multi runs the backbone once per chunk for all of them
-        samples = prefetch((dataset[order[0]] for _, order in videos),
-                           buffer_size=2)
-        for video_id, order in videos:
-            process_video(engine, (video_id, order, next(samples)))
+    # one depth-1 pipelined loop per local chip (pool) or on the single
+    # engine: decode/merge/PNG writes hide behind device compute
+    run_videos_pipelined(pool if pool is not None else engine,
+                         videos, item_fn, post_fn)
 
 
 if __name__ == "__main__":

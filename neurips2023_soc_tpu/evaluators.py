@@ -455,9 +455,9 @@ def evaluate_refer_youtube_vos(
     Multi-host: callers shard the groups per process (shard_videos); the
     zip is created by rank 0 only, AFTER a barrier, so it contains every
     host's predictions — output_dir must be a shared filesystem."""
-    from .inference import save_ytvos_predictions, zip_submission
+    from .inference import run_videos_pipelined, save_ytvos_predictions, \
+        zip_submission
     from .parallel.multihost import barrier, is_main_process
-    from .utils.prefetch import prefetch
 
     if groups is None:
         if hasattr(dataset, "video_groups"):
@@ -466,17 +466,16 @@ def evaluate_refer_youtube_vos(
             groups = [[i] for i in range(len(dataset))]
     can_batch = hasattr(dataset, "get_text") and hasattr(dataset, "exp_id")
 
-    def process_group(eng, g, s=None):
-        """Decode (unless prefetched) + infer + write THIS video's PNGs
-        immediately (reference infer_refytb.py writes per expression,
-        :230-277): holding the whole split's original-size masks in host RAM
-        would be tens of GB on the real 202-video corpus."""
-        if s is None:
-            s = dataset[g[0]]
+    def item_fn(w):
+        """Decode one video group into infer_video_multi kwargs; runs
+        inside the pipelined loop, so the NEXT group's decode overlaps this
+        one's device compute."""
+        g = w["g"]
+        s = dataset[g[0]]
         meta0 = s["video_metadata"]
         if can_batch:
             texts = [dataset.get_text(i) for i in g]
-            metas = [{**meta0, "exp_id": dataset.exp_id(i)} for i in g]
+            w["metas"] = [{**meta0, "exp_id": dataset.exp_id(i)} for i in g]
         else:  # single-sample group (datasets without the accessors)
             if len(g) > 1:
                 raise ValueError(
@@ -484,14 +483,18 @@ def evaluate_refer_youtube_vos(
                     f"accessors (got a {len(g)}-element group on "
                     f"{type(dataset).__name__})")
             texts = [s["text"]]
-            metas = [meta0]
-        results = eng.infer_video_multi(
-            s["frames"], texts,
-            original_size=meta0["original_frame_size"],
-            return_boxes=visualize_dir is not None,
-        )
+            w["metas"] = [meta0]
+        return dict(frames=s["frames"], texts=texts,
+                    original_size=meta0["original_frame_size"],
+                    return_boxes=visualize_dir is not None)
+
+    def post_fn(w, results):
+        """Write THIS video's PNGs immediately (reference infer_refytb.py
+        writes per expression, :230-277): holding the whole split's
+        original-size masks in host RAM would be tens of GB on the real
+        202-video corpus. Runs while the next video computes on device."""
         preds = []
-        for meta, r in zip(metas, results):
+        for meta, r in zip(w["metas"], results):
             if visualize_dir is not None:
                 masks, boxes = r
                 _save_ytvos_overlays(meta, masks, boxes, visualize_dir,
@@ -501,18 +504,13 @@ def evaluate_refer_youtube_vos(
             preds.append({**meta, "pred_masks": masks})
         save_ytvos_predictions(preds, output_dir)
 
-    from .inference import EnginePool
-
-    if isinstance(engine, EnginePool):
-        # single-process multi-chip: one engine per local device, groups
-        # fanned out over threads — every chip of the host stays busy (the
-        # reference's one-worker-per-GPU split, infer_refytb.py:84-109)
-        engine.map_videos(groups, process_group)
-    else:
-        # decode the next video on the host while the chip runs this one
-        samples = prefetch((dataset[g[0]] for g in groups), buffer_size=2)
-        for g in groups:
-            process_group(engine, g, next(samples))
+    # one engine per local device (EnginePool) or the single engine; each
+    # runs a depth-1 pipelined loop over its round-robin share of the
+    # groups — every chip of the host stays busy (the reference's
+    # one-worker-per-GPU split, infer_refytb.py:84-109) and decode/PNG
+    # writes hide behind device compute
+    run_videos_pipelined(engine, [{"g": g} for g in groups],
+                         item_fn, post_fn)
     out = {"predictions_dir": output_dir}
     if make_zip:
         barrier("ytvos_submission_pngs")  # all hosts done writing

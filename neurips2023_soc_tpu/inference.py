@@ -801,6 +801,43 @@ class EnginePool:
         return results
 
 
+def run_videos_pipelined(engine_or_pool, items: Sequence, item_fn,
+                         post_fn) -> List:
+    """Depth-1 pipelined per-video work over one InferenceEngine or an
+    EnginePool (item i -> engine i % n, the same round-robin split as
+    EnginePool.map_videos). Per engine, video i+1's chunk programs dispatch
+    BEFORE video i's outputs are fetched (InferenceEngine.infer_videos), so
+    the host tail — the NEXT item's decode inside item_fn and THIS item's
+    PNG/zip encode inside post_fn — hides behind device compute. The
+    reference's per-GPU workers run videos strictly sequentially
+    (infer_refytb.py:160-283), idling the GPU through every decode/encode.
+
+    item_fn(item) -> kwargs dict for infer_video_multi (side data for
+    post_fn can be stashed on the item — each item is touched by exactly
+    one worker thread); post_fn(item, results) -> stored value. Returns
+    post_fn values in input order."""
+    engines = (engine_or_pool.engines
+               if isinstance(engine_or_pool, EnginePool) else [engine_or_pool])
+    n = len(engines)
+    results: List = [None] * len(items)
+
+    def worker(eng_idx: int):
+        eng = engines[eng_idx]
+        idxs = list(range(eng_idx, len(items), n))
+        gen = (item_fn(items[i]) for i in idxs)
+        for i, res in zip(idxs, eng.infer_videos(gen, depth=1)):
+            results[i] = post_fn(items[i], res)
+
+    if n == 1 or len(items) <= 1:
+        worker(0)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n) as ex:
+            list(ex.map(worker, range(min(n, len(items)))))
+    return results
+
+
 def shard_videos(items: List, num_shards: Optional[int] = None,
                  shard_id: Optional[int] = None) -> List:
     """Per-host video sharding (replaces the reference's mp.Process split)."""

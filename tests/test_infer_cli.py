@@ -136,9 +136,7 @@ def test_infer_davis_cli_annotator_grouping(tmp_path, monkeypatch):
 
     seen = []
 
-    def fake_infer_video_multi(self, frames_arr, texts, original_size=None,
-                               return_probs=False, **kw):
-        seen.extend(texts)
+    def fake_results(frames_arr, texts, original_size):
         T = len(frames_arr)
         h, w = original_size
         out = []
@@ -152,8 +150,15 @@ def test_infer_davis_cli_annotator_grouping(tmp_path, monkeypatch):
             out.append(probs)
         return out
 
-    monkeypatch.setattr(InferenceEngine, "infer_video_multi",
-                        fake_infer_video_multi)
+    # the CLI consumes videos through the pipelined loop
+    # (run_videos_pipelined -> engine.infer_videos); fake at that boundary
+    def fake_infer_videos(self, items, depth=1):
+        for item in items:
+            seen.extend(item["texts"])
+            yield fake_results(item["frames"], item["texts"],
+                               item["original_size"])
+
+    monkeypatch.setattr(InferenceEngine, "infer_videos", fake_infer_videos)
     out_dir = tmp_path / "out"
     cfg = _tiny_cfg(
         tmp_path, dataset_name="ref_davis", img_folder=str(root),

@@ -348,6 +348,44 @@ def test_engine_pool_multi_device_parity(engine):
         assert any(k.startswith(("clip_sel", "clip")) for k in eng._jitted)
 
 
+def test_run_videos_pipelined_parity_and_order(engine):
+    """run_videos_pipelined (the CLI/evaluator consumption loop): results
+    come back in input order, match the sync path exactly, the item_fn
+    aux-stash pattern works, and the EnginePool variant fans over devices
+    with identical outputs."""
+    from neurips2023_soc_tpu.inference import EnginePool, run_videos_pipelined
+
+    rs = np.random.RandomState(11)
+    vids = [rs.randn(t, 48, 64, 3).astype(np.float32) for t in (3, 4, 2, 4, 3)]
+    items = [{"i": i, "frames": v} for i, v in enumerate(vids)]
+
+    def item_fn(w):
+        w["aux"] = w["i"] * 10  # side data for post_fn, stashed on the item
+        return dict(frames=w["frames"], texts=["a thing"],
+                    original_size=(48, 64), return_probs=True)
+
+    def post_fn(w, results):
+        return (w["aux"], results[0])
+
+    got = run_videos_pipelined(engine, items, item_fn, post_fn)
+    for i, (aux, probs) in enumerate(got):
+        assert aux == i * 10
+        want = engine.infer_video(vids[i], "a thing", original_size=(48, 64),
+                                  return_probs=True)
+        np.testing.assert_allclose(probs, want, rtol=1e-5, atol=1e-5)
+
+    if len(jax.devices()) >= 2:
+        pool = EnginePool(
+            engine.model, engine.params, devices=jax.devices()[:3],
+            text_encoder_type="roberta-tiny", text_bucket=8,
+            time_buckets=(4,), size_buckets=((48, 64),),
+        )
+        got_pool = run_videos_pipelined(pool, items, item_fn, post_fn)
+        for (a, p), (b, q) in zip(got, got_pool):
+            assert a == b
+            np.testing.assert_allclose(p, q, rtol=1e-4, atol=1e-4)
+
+
 def test_fused_single_chunk_parity(engine):
     """Single-chunk videos run the FUSED program (in-graph selection +
     finalize, one dispatch / one fetch per expression). It must be
