@@ -386,6 +386,53 @@ def test_run_videos_pipelined_parity_and_order(engine):
             np.testing.assert_allclose(p, q, rtol=1e-4, atol=1e-4)
 
 
+def test_run_videos_pipelined_engines_run_concurrently():
+    """The pool variant of run_videos_pipelined must actually OVERLAP
+    engine execution (one worker thread per engine), not serialize the
+    round-robin shares — the property that makes one host's N chips ~N×
+    one-chip video throughput (VERDICT r4 #2). Instrumented fake engines
+    record execution windows; with 4 engines × 2 items each of ~0.15 s,
+    overlap is asserted structurally (windows on different engines
+    intersect), not via a flaky total-wall-time bound."""
+    import time
+
+    from neurips2023_soc_tpu.inference import EnginePool, run_videos_pipelined
+
+    windows = []  # (engine_id, start, end) — appends are GIL-atomic
+
+    class FakeEngine:
+        def __init__(self, eid):
+            self.eid = eid
+
+        def infer_videos(self, items, depth=1):
+            for item in items:
+                t0 = time.monotonic()
+                time.sleep(0.15)
+                windows.append((self.eid, t0, time.monotonic()))
+                yield [("done", self.eid, item["tag"])]
+
+    pool = EnginePool.__new__(EnginePool)  # bypass __init__: fakes, no model
+    pool.engines = [FakeEngine(i) for i in range(4)]
+
+    items = [{"tag": i} for i in range(8)]
+    got = run_videos_pipelined(
+        pool, items,
+        lambda w: {"tag": w["tag"]},
+        lambda w, res: res[0])
+
+    # results in input order, item i handled by engine i % 4 (round-robin)
+    assert [r[2] for r in got] == list(range(8))
+    assert [r[1] for r in got] == [i % 4 for i in range(8)]
+    # execution windows on DIFFERENT engines overlap in time
+    overlaps = sum(
+        1
+        for i, (e1, s1, f1) in enumerate(windows)
+        for e2, s2, f2 in windows[i + 1:]
+        if e1 != e2 and max(s1, s2) < min(f1, f2)
+    )
+    assert overlaps >= 4, f"engines serialized: {windows}"
+
+
 def test_fused_single_chunk_parity(engine):
     """Single-chunk videos run the FUSED program (in-graph selection +
     finalize, one dispatch / one fetch per expression). It must be
