@@ -1,24 +1,35 @@
 """Benchmark: Ref-YTVOS-style whole-clip referring inference throughput on one
-TPU chip.
+TPU chip — self-calibrating against the host↔device link it runs over.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} whose
-HEADLINE metric is the SHIPPED InferenceEngine's end-to-end throughput
-(host preprocessing + forward + device finalize + mask fetch, via
-`InferenceEngine.infer_videos` depth-1 — the serving path the infer CLIs run)
-on the north-star config: Video-Swin-B, 16-frame 360x640 videos, bf16
-(BASELINE.json "Ref-YouTube-VOS valid inference ... Video-Swin-B").
-VERDICT r3 weak #1: rounds 1-3 benchmarked a fused proxy program instead;
-the proxy number is still reported for continuity ("proxy_*" fields), and
-BENCH_NOTES.md records the protocols.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+
+HEADLINE (VERDICT r4 #1 — chip-honest pair): `value` is the DEVICE clip
+throughput (the fused proxy program: device-resident input, scalar checksum
+out — what the chip itself sustains on the north-star Video-Swin-B 16-frame
+360x640 bf16 config), and `engine_vs_roofline` is the SERVING-SOFTWARE
+quality: the shipped `InferenceEngine.infer_videos` end-to-end fps divided
+by the roofline that the measured link capacity + device throughput permit.
+The raw engine fps (a LINK number on this ~23 MB/s tunnel) and its
+vs_baseline are carried as secondary fields under `engine_u8`/`engine_yuv420`.
+
+Self-calibration (`link` field): the link is probed IN-SESSION — explicit
+`device_put` upload bandwidth (MB/s) and scalar round-trip time (ms), before
+and after the engine measurements. Per input format the JSON carries
+`roofline_fps` = T / max(upload_bytes/bw, device_time) and
+`engine_vs_roofline`. A pipelined<sync inversion (impossible on an idle
+link; the r4 driver capture hit it under contention) triggers ONE retry of
+that engine measurement; if it persists, or the pre/post link probes
+disagree by >30%, `link_contended: true` is set — a depressed capture is
+then explained by the artifact itself instead of reading as a regression.
 
 Also carried in the JSON line:
-  * sync (one-video-at-a-time) engine fps — the latency protocol; both
-    vs_baseline ratios are reported (VERDICT r3 weak #2)
+  * engine_u8 / engine_yuv420: the shipped engine per input format
+    (uint8 RGB = 3 B/px; YUV420p planes = 1.5 B/px, the video-codec-native
+    format), each with pipelined/sync fps, roofline, and vs_roofline
+  * multi_expression: 8-expressions-per-video engine throughput; its ONE
+    speedup definition is `speedup_vs_8_single_passes` (BENCH_NOTES.md
+    "metric definitions" is the authority on every ratio's meaning)
   * secondary: Video-Swin-T engine+proxy numbers (tracked since r1)
-  * multi_expression: 8-expressions-per-video engine throughput and its
-    speedup over 8 single-expression passes (the split backbone/head path
-    the reference cannot have — reference infer_davis.py re-runs the full
-    model per expression)
   * train: swin-t AND swin-b train-step seconds (T=8, 360x640, bs=1/chip)
     with a provisional A100 denominator (VERDICT r3 "do this" #3)
 
@@ -47,6 +58,91 @@ def _enable_compile_cache():
         jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     except Exception:
         pass  # older jax or remote-compile backend: cache is best-effort
+
+
+def probe_link(mb: int = 8, repeats: int = 3) -> dict:
+    """In-session host↔device link probe (VERDICT r4 #1): scalar round-trip
+    time and explicit `device_put` upload bandwidth — the two quantities the
+    engine rooflines divide by. The engine metrics are LINK numbers on this
+    tunneled runtime (~23 MB/s, ~50 ms RTT when idle), so the roofline they
+    are judged against must be measured in the SAME session, not assumed
+    from a previous idle-host run. Completion is forced the same way the
+    bench forces it everywhere: a checksum fetch per upload (device_put +
+    block_until_ready alone under-report on this runtime)."""
+    import jax
+    import jax.numpy as jnp
+
+    add = jax.jit(lambda x: x + 1)
+    float(add(jax.device_put(np.float32(0.0))))  # compile + warm
+    rtts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(add(jax.device_put(np.float32(i + 1.0))))
+        rtts.append(time.perf_counter() - t0)
+    rtt_s = float(np.median(rtts))
+
+    checksum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 256, (mb, 1 << 20), dtype=np.uint8)
+    arrs = []
+    for i in range(repeats + 1):
+        a = base.copy()
+        a[i % mb, :8] = i  # distinct content defeats execution memoization
+        arrs.append(a)
+    int(checksum(jax.device_put(arrs[0])))  # compile + first (slow) execution
+    bws = []
+    for a in arrs[1:]:
+        t0 = time.perf_counter()
+        int(checksum(jax.device_put(a)))
+        dt = time.perf_counter() - t0
+        bws.append(a.nbytes / max(dt - rtt_s, 1e-6) / 1e6)
+    return {
+        "rtt_ms": round(rtt_s * 1e3, 2),
+        "upload_mb_s": round(float(np.median(bws)), 2),
+        "upload_mb_s_spread": [round(min(bws), 2), round(max(bws), 2)],
+    }
+
+
+# host↔device bytes the SHIPPED engine must move per (T, H, W) video,
+# by input format (BENCH_NOTES.md "engine transfer roofline"): pixels up,
+# bit-packed final masks down (pack_masks=True default)
+_FMT_BYTES_PER_PIXEL = {"uint8": 3.0, "yuv420": 1.5, "float32": 12.0}
+
+
+def engine_roofline(fmt: str, T: int, H: int, W: int, link: dict,
+                    proxy: dict) -> dict:
+    """fps ceilings the measured link + device throughput permit.
+
+    pipelined: upload, compute, and fetch overlap (depth-1) → the slower of
+    link time and device time bounds the rate. sync: they serialize, and the
+    one mask-fetch round trip is charged (the proxy's sync protocol already
+    pays one RTT per call for its checksum, so no extra RTT term).
+    `engine_vs_roofline ≈ 1` ⇒ the serving software adds nothing the
+    hardware didn't force; < 1 under a contended link is flagged, not
+    mistaken for a software regression."""
+    upload = T * H * W * _FMT_BYTES_PER_PIXEL[fmt]
+    fetch = T * H * W / 8  # bit-packed uint8 masks
+    xfer_s = (upload + fetch) / (link["upload_mb_s"] * 1e6)
+    pipe = T / max(xfer_s, T / proxy["pipelined"])
+    sync = T / (xfer_s + T / proxy["sync_per_call"])
+    return {"pipelined_fps": round(pipe, 3), "sync_fps": round(sync, 3)}
+
+
+def measure_engine_checked(*args, **kwargs) -> dict:
+    """measure_engine + the pipelined<sync inversion check. Pipelined
+    (depth-1 overlap) below sync is impossible on an uncontended link — the
+    r4 driver capture recorded exactly that (19.3 pipe vs 21.5 sync) under
+    host/link contention and the artifact couldn't say so. Retry once; if
+    the inversion persists, mark the measurement contended."""
+    r = measure_engine(*args, **kwargs)
+    if r["pipelined"] < r["sync_per_call"]:
+        r2 = measure_engine(*args, **kwargs)
+        if r2["pipelined"] > r["pipelined"]:
+            r = r2
+        r = dict(r)
+        r["retried_after_inversion"] = True
+        r["inverted"] = r["pipelined"] < r["sync_per_call"]
+    return r
 
 
 def build_model(backbone: str, dtype_name: str):
@@ -230,7 +326,11 @@ def measure_engine(model, params, T: int, n_videos: int,
         rounds.append((time.perf_counter() - t0) / n_videos)
         seq += n_videos
     pipe_fps = T * expressions / float(np.median(rounds))
-    return {"pipelined": pipe_fps, "sync_per_call": sync_fps}
+    return {"pipelined": pipe_fps, "sync_per_call": sync_fps,
+            # per-round fps: a >30% spread means the link/host moved
+            # mid-measurement (contention signal for the JSON record)
+            "pipelined_rounds_fps": [round(T * expressions / r, 3)
+                                     for r in rounds]}
 
 
 def measure_train(backbone: str, iters: int) -> float:
@@ -311,6 +411,13 @@ def main():
     except Exception:
         pass
 
+    # in-session link probe BEFORE any engine measurement (VERDICT r4 #1);
+    # repeated after them — disagreement means the link moved mid-run
+    try:
+        link_pre = probe_link()
+    except Exception as e:
+        link_pre = {"error": str(e)}
+
     # BENCH_BACKBONE overrides run a single backbone (A/B kernel work);
     # the default driver run measures the north-star swin-b + tracked swin-t
     only = os.environ.get("BENCH_BACKBONE")
@@ -319,7 +426,7 @@ def main():
     for backbone in backbones:
         model = build_model(backbone, dtype_name)
         params = init_params(model, T, 360, 640, 16)
-        r = {"engine": measure_engine(model, params, T, n_videos)}
+        r = {"engine": measure_engine_checked(model, params, T, n_videos)}
         if os.environ.get("BENCH_SKIP_PROXY") != "1":
             try:
                 r["proxy"] = measure_proxy(model, params, T, iters)
@@ -340,7 +447,8 @@ def main():
                 prev = os.environ.get("BENCH_ENGINE_DTYPE")
                 try:
                     os.environ["BENCH_ENGINE_DTYPE"] = "yuv420"
-                    r["yuv420"] = measure_engine(model, params, T, n_videos)
+                    r["yuv420"] = measure_engine_checked(
+                        model, params, T, n_videos)
                 except Exception as e:
                     r["yuv420_error"] = str(e)
                 finally:
@@ -351,9 +459,33 @@ def main():
         results[backbone] = r
         del model, params
 
+    try:
+        link_post = probe_link()
+    except Exception as e:
+        link_post = {"error": str(e)}
+    # capacity = the better of the two probes (a lower reading IS the
+    # contention); rooflines divide by capacity so a contended engine run
+    # shows up as vs_roofline < 1 WITH the contended flag set
+    probes = [p for p in (link_pre, link_post) if "upload_mb_s" in p]
+    link = None
+    if probes:
+        best = max(probes, key=lambda p: p["upload_mb_s"])
+        lo = min(p["upload_mb_s"] for p in probes)
+        spread_unstable = any(
+            p["upload_mb_s_spread"][0] > 0
+            and p["upload_mb_s_spread"][1] > 2.0 * p["upload_mb_s_spread"][0]
+            for p in probes)
+        link = {
+            "upload_mb_s": best["upload_mb_s"],
+            "rtt_ms": min(p["rtt_ms"] for p in probes),
+            "pre": link_pre, "post": link_post,
+            "probes_disagree": bool(
+                len(probes) == 2 and lo < 0.7 * best["upload_mb_s"]),
+            "probe_unstable": spread_unstable,
+        }
+
     primary = only or "video-swin-b"
     res = results[primary]
-    fps = res["engine"]["pipelined"]
     base_key = ("ytvos_infer_fps_a100_provisional_swin_b"
                 if "swin-b" in primary else
                 "ytvos_infer_fps_a100_provisional_swin_t")
@@ -362,43 +494,91 @@ def main():
     measured = baselines.get(f"ytvos_infer_fps_{primary}") or (
         baselines.get("ytvos_infer_fps") if "swin-t" in primary else None)
     base = measured or baselines.get(base_key)
+
+    proxy = res.get("proxy")
+    engine = res["engine"]
+    # HEADLINE value = DEVICE clip throughput (chip-honest: no link in it).
+    # Falls back to the raw engine number if the proxy measurement failed.
+    fps = proxy["pipelined"] if proxy else engine["pipelined"]
     record = {
-        "metric": f"ytvos_engine_infer_fps_{primary}_{T}f_360x640_{dtype_name}",
+        "metric": (f"ytvos_device_clip_fps_{primary}_{T}f_360x640_"
+                   f"{dtype_name}" if proxy else
+                   f"ytvos_engine_infer_fps_{primary}_{T}f_360x640_"
+                   f"{dtype_name}"),
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / base, 3) if base else None,
-        # the SHIPPED InferenceEngine end-to-end (incl. host tail), depth-1
-        # pipelined serving loop; sync = one-video-at-a-time latency
-        "protocol": "InferenceEngine.infer_videos_depth1_median",
-        "engine_sync_fps": round(res["engine"]["sync_per_call"], 3),
-        "vs_baseline_sync": (round(res["engine"]["sync_per_call"] / base, 3)
-                             if base else None),
+        "protocol": ("fused_clip_device_throughput_depth1_median" if proxy
+                     else "InferenceEngine.infer_videos_depth1_median"),
+        # the headline pair (BENCH_NOTES.md "metric definitions"): `value`
+        # is what the chip sustains; engine vs_roofline is what the serving
+        # software delivers of the ceiling this session's LINK permits. Raw
+        # engine fps is a link number on this tunnel (~23 MB/s vs GB/s PCIe
+        # on a production TPU host) and lives under engine_u8/engine_yuv420.
+        "headline": "device_throughput + engine_vs_roofline",
     }
-    if "proxy" in res:
-        record["proxy_pipelined_fps"] = round(res["proxy"]["pipelined"], 3)
-        record["proxy_sync_fps"] = round(res["proxy"]["sync_per_call"], 3)
+    if proxy:
+        record["proxy_sync_fps"] = round(proxy["sync_per_call"], 3)
+
+    contended = bool(link and (link.get("probes_disagree")
+                               or link.get("probe_unstable")))
+
+    def engine_block(r, fmt):
+        nonlocal contended
+        blk = {
+            "pipelined_fps": round(r["pipelined"], 3),
+            "sync_fps": round(r["sync_per_call"], 3),
+            "vs_baseline": (round(r["pipelined"] / base, 3)
+                            if base else None),
+            "vs_baseline_sync": (round(r["sync_per_call"] / base, 3)
+                                 if base else None),
+        }
+        rnds = r.get("pipelined_rounds_fps")
+        if rnds:
+            blk["pipelined_rounds_fps"] = rnds
+            if min(rnds) < 0.7 * max(rnds):  # link/host moved mid-measurement
+                blk["rounds_unstable"] = True
+                contended = True
+        if r.get("retried_after_inversion"):
+            blk["retried_after_inversion"] = True
+        if r.get("inverted"):
+            blk["pipelined_below_sync"] = True  # physically impossible idle
+            contended = True
+        if link and proxy:
+            roof = engine_roofline(fmt, T, 360, 640, link, proxy)
+            blk["roofline_fps"] = roof
+            blk["vs_roofline"] = round(
+                r["pipelined"] / roof["pipelined_fps"], 3)
+            blk["vs_roofline_sync"] = round(
+                r["sync_per_call"] / roof["sync_fps"], 3)
+        return blk
+
+    record["engine_u8"] = engine_block(engine, "uint8")
+    if "yuv420" in res:
+        record["engine_yuv420"] = engine_block(res["yuv420"], "yuv420")
+    if proxy:
         record["engine_vs_proxy"] = round(
-            fps / res["proxy"]["pipelined"], 3)
+            engine["pipelined"] / proxy["pipelined"], 3)
+        vs_roof = {}
+        if "vs_roofline" in record["engine_u8"]:
+            vs_roof["u8"] = record["engine_u8"]["vs_roofline"]
+        if "vs_roofline" in record.get("engine_yuv420", {}):
+            vs_roof["yuv420"] = record["engine_yuv420"]["vs_roofline"]
+        if vs_roof:
+            record["engine_vs_roofline"] = vs_roof
+    if link:
+        record["link"] = link
+    record["link_contended"] = contended
     if "multi8" in res:
         m8 = res["multi8"]
         record["multi_expression"] = {
             "expressions_per_video": 8,
             "pipelined_expression_frames_per_sec": round(m8["pipelined"], 3),
-            # speedup over running 8 single-expression videos: the split
-            # backbone/head path runs the backbone once per video
+            # THE speedup definition (BENCH_NOTES.md metric definitions):
+            # vs running the same videos 8x through the single-expression
+            # engine — the reference re-runs the full model per expression
             "speedup_vs_8_single_passes": round(
-                m8["pipelined"] / res["engine"]["pipelined"], 3),
-        }
-    if "yuv420" in res:
-        yv = res["yuv420"]
-        record["engine_yuv420"] = {
-            # uint8 YUV420p plane input (half the upload bytes of raw RGB —
-            # the zero-extra-loss format when frames come from a video
-            # codec; see BENCH_NOTES.md "engine transfer roofline")
-            "pipelined_fps": round(yv["pipelined"], 3),
-            "sync_fps": round(yv["sync_per_call"], 3),
-            "vs_baseline": (round(yv["pipelined"] / base, 3)
-                            if base else None),
+                m8["pipelined"] / engine["pipelined"], 3),
         }
     for err_key in ("proxy_error", "multi8_error", "yuv420_error"):
         if err_key in res:

@@ -749,36 +749,61 @@ class EnginePool:
         over every process's devices; those are not fully addressable from
         one process, so jax.device_put(params, local_device) would raise.
         Under data-parallel replication the local shard IS the full value —
-        extract it (and loudly reject genuinely sharded leaves, which have
-        no single-device replica to pin)."""
+        extract it. Genuinely sharded leaves (model parallelism) have no
+        single-device replica: return None and let the caller degrade to
+        sharded global execution instead of crashing per-epoch eval."""
+        sharded = []
+
         def local(x):
             if isinstance(x, jax.Array) and not x.is_fully_addressable:
                 shard = x.addressable_data(0)
                 if shard.shape != x.shape:
-                    raise ValueError(
-                        "EnginePool needs replicated params; leaf of global "
-                        f"shape {x.shape} is sharded to {shard.shape} on "
-                        "this host — gather it before building the pool")
+                    sharded.append((x.shape, shard.shape))
+                    return x
                 return shard
             return x
 
-        return jax.tree_util.tree_map(local, params)
+        out = jax.tree_util.tree_map(local, params)
+        return None if sharded else out
 
     def __init__(self, model, params, devices=None, **engine_kwargs):
         devices = list(devices if devices is not None else jax.local_devices())
+        # identity of the last params object pinned — update_params with the
+        # same object skips the multi-GB host->device re-transfer per chip
+        self._params_src = params
+        self._engine_kwargs = engine_kwargs
+        local = self._local_replica(params)
+        if local is None:
+            # model-parallel params: no per-device replica exists. One engine
+            # executing the global sharded arrays (jit handles the layout)
+            # keeps per-epoch eval working instead of raising mid-training.
+            print("EnginePool: params are sharded across devices — running a "
+                  "single sharded-execution engine (no per-device fan-out)")
+            self.devices = [None]
+            self.engines = [InferenceEngine(model, params, **engine_kwargs)]
+            return
         self.devices = devices
-        params = self._local_replica(params)
         self.engines = [
-            InferenceEngine(model, jax.device_put(params, d), **engine_kwargs)
+            InferenceEngine(model, jax.device_put(local, d), **engine_kwargs)
             for d in devices
         ]
 
     def update_params(self, params):
         """Refresh every engine's params replica (per-epoch eval during
-        training: the trainer's current params are re-pinned per device)."""
-        params = self._local_replica(params)
+        training: the trainer's current params are re-pinned per device).
+        No-op when `params` is the very object already pinned — the first
+        eval right after construction would otherwise repeat the same
+        multi-GB transfer to every chip."""
+        if params is self._params_src:
+            return
+        self._params_src = params
+        local = self._local_replica(params)
+        if local is None or self.devices == [None]:
+            for eng in self.engines:
+                eng.params = params
+            return
         for eng, d in zip(self.engines, self.devices):
-            eng.params = jax.device_put(params, d)
+            eng.params = jax.device_put(local, d)
 
     def map_videos(self, items: Sequence, fn) -> List:
         """fn(engine, item) -> result; returns results in input order.

@@ -291,11 +291,16 @@ class Trainer:
         if report["missing"] or report["unused"]:
             msg = (f"loaded {path}: {len(report['missing'])} missing, "
                    f"{len(report['unused'])} unused keys")
-            if strict and report["missing"]:
+            if strict:
+                # the reference's strict load_state_dict rejects BOTH missing
+                # and unexpected keys (main.py:28-43); a superset checkpoint
+                # must not silently evaluate with extra weights ignored
+                detail = "; ".join(
+                    f"{kind}: " + ", ".join(report[kind][:20])
+                    + (" ..." if len(report[kind]) > 20 else "")
+                    for kind in ("missing", "unused") if report[kind])
                 raise ValueError(
-                    msg + "; missing: " + ", ".join(report["missing"][:20])
-                    + (" ..." if len(report["missing"]) > 20 else "")
-                    + " (pass strict=False to load anyway)")
+                    msg + "; " + detail + " (pass strict=False to load anyway)")
             print(msg)
         self._state = self._state.replace(params=params)
 
@@ -320,9 +325,10 @@ class Trainer:
             self.epoch = int(ckpt.get("epoch", -1)) + 1
             # reference trainer.load_checkpoint restores total_epochs from
             # the checkpoint when no override is given (trainer.py:365-368);
-            # an explicit config.epochs (always present here) is the override
-            if "total_epochs" in ckpt and not getattr(
-                    self.config, "epochs", None):
+            # an explicit config.epochs is the override — compare against
+            # None so epochs=0 counts as an explicit override too
+            if ("total_epochs" in ckpt
+                    and getattr(self.config, "epochs", None) is None):
                 self.total_epochs = int(ckpt["total_epochs"])
             if "best_mAP" in ckpt:
                 self.best_map = float(ckpt["best_mAP"])
