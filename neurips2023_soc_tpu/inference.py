@@ -771,7 +771,6 @@ class EnginePool:
         # identity of the last params object pinned — update_params with the
         # same object skips the multi-GB host->device re-transfer per chip
         self._params_src = params
-        self._engine_kwargs = engine_kwargs
         local = self._local_replica(params)
         if local is None:
             # model-parallel params: no per-device replica exists. One engine

@@ -85,23 +85,40 @@ def _np_axis_rel(n: int, size: int) -> np.ndarray:
     return (a[:, None] - a[None, :] + size - 1).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=64)
+def _np_axis_onehot(n: int, size: int) -> np.ndarray:
+    """(n*n, 2*size-1) one-hot selector for one window axis's relative
+    offsets — row (i*n+j) selects table entry (i - j + size - 1)."""
+    idx = _np_axis_rel(n, size).reshape(-1)
+    eye = np.zeros((idx.shape[0], 2 * size - 1), np.float32)
+    eye[np.arange(idx.shape[0]), idx] = 1.0
+    return eye
+
+
 def _rel_pos_bias(bias_table: jnp.ndarray, window: Window, N: int) -> jnp.ndarray:
-    """(H, N, N) relative-position bias built *separably*: three tiny-index
-    gathers along the d/h/w axes instead of one N^2-row gather per block
-    (the direct gather costs ~1 ms/block at window (8,7,7) on v5e)."""
+    """(H, N, N) relative-position bias built *separably*: three tiny one-hot
+    matmuls along the d/h/w axes instead of one N^2-row gather per block
+    (the direct gather costs ~1 ms/block at window (8,7,7) on v5e).
+
+    One-hot dot_generals, not jnp.take: a take along a non-leading axis
+    lowers on TPU to a serial while loop of dynamic-slice/dynamic-update-
+    slice steps — the r5 swin-b inference profile showed 2x2.5 ms while
+    loops + 4.7 ms of 49-step update-slice chains (~7% of the clip) from
+    exactly these gathers. The selector matrices are tiny host constants
+    ((n², 2n-1): at most 64x15 floats) and a one-hot f32 matmul is an exact
+    selection (every non-selected product is exactly 0)."""
     wd, wh, ww = window
     H = bias_table.shape[-1]
     T = bias_table.reshape(2 * wd - 1, 2 * wh - 1, 2 * ww - 1, H)
-    A = jnp.take(T, jnp.asarray(_np_axis_rel(wd, wd).reshape(-1)), axis=0)
-    A = A.reshape(wd, wd, 2 * wh - 1, 2 * ww - 1, H)
-    B = jnp.take(A, jnp.asarray(_np_axis_rel(wh, wh).reshape(-1)), axis=2)
-    B = B.reshape(wd, wd, wh, wh, 2 * ww - 1, H)
-    C = jnp.take(B, jnp.asarray(_np_axis_rel(ww, ww).reshape(-1)), axis=4)
+    T = T.astype(jnp.float32)
+    A = jnp.einsum("ps,stuh->ptuh", jnp.asarray(_np_axis_onehot(wd, wd)), T)
+    B = jnp.einsum("qt,ptuh->pquh", jnp.asarray(_np_axis_onehot(wh, wh)), A)
+    C = jnp.einsum("ru,pquh->pqrh", jnp.asarray(_np_axis_onehot(ww, ww)), B)
     C = C.reshape(wd, wd, wh, wh, ww, ww, H)
     bias = jnp.transpose(C, (0, 2, 4, 1, 3, 5, 6))
     n_full = wd * wh * ww
     bias = bias.reshape(n_full, n_full, H)[:N, :N]
-    return jnp.transpose(bias, (2, 0, 1))  # (H, N, N)
+    return jnp.transpose(bias, (2, 0, 1)).astype(bias_table.dtype)  # (H, N, N)
 
 
 def _effective_window(size: Tuple[int, int, int], window: Window, shift: Window):
@@ -148,6 +165,10 @@ class WindowAttention3D(nn.Module):
         )
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
+        # keeping q/k/v in the natural (B_, N, H, Dh) layout (einsum
+        # contracting d directly) was A/B'd in r5 and is a WASH: XLA's
+        # layout assignment canonicalizes both graphs to the same 182.9 ms
+        # clip — the hoisted layout stays for the Pallas path's benefit
         qkv = qkv.reshape(B_, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, H, N, Dh)
 

@@ -50,3 +50,61 @@ def test_measure_proxy_smoke(tiny):
     model, params = tiny
     r = bench.measure_proxy(model, params, T=4, iters=2, H=48, W=64, S=8)
     assert r["pipelined"] > 0 and r["sync_per_call"] > 0
+
+
+def test_probe_link_smoke():
+    """The in-session link probe (r5 self-calibration) must always produce
+    finite positive numbers — the driver bench leads with rooflines built
+    from it."""
+    r = bench.probe_link(mb=1, repeats=2)
+    assert r["rtt_ms"] > 0 and np.isfinite(r["rtt_ms"])
+    assert r["upload_mb_s"] > 0 and np.isfinite(r["upload_mb_s"])
+    assert r["upload_mb_s_spread"][0] <= r["upload_mb_s_spread"][1]
+
+
+def test_engine_roofline_math():
+    """Roofline formulas (BENCH_NOTES.md metric definitions): link-bound when
+    transfer dominates, device-bound when the chip is slower than the link."""
+    link = {"upload_mb_s": 23.0, "rtt_ms": 50.0}
+    proxy = {"pipelined": 81.5, "sync_per_call": 71.0}
+    u8 = bench.engine_roofline("uint8", 16, 360, 640, link, proxy)
+    # 16*360*640*3 B + 16*360*640/8 B = 11.52 MB -> ~0.5 s -> ~32 fps,
+    # link-bound (device time 16/81.5 = 0.196 s)
+    assert 28 < u8["pipelined_fps"] < 36
+    assert u8["sync_fps"] < u8["pipelined_fps"]
+    yv = bench.engine_roofline("yuv420", 16, 360, 640, link, proxy)
+    assert yv["pipelined_fps"] > u8["pipelined_fps"]  # half the pixel bytes
+    # a fat link makes the device the bound: roofline == proxy pipelined
+    fat = bench.engine_roofline("uint8", 16, 360, 640,
+                                {"upload_mb_s": 1e5}, proxy)
+    assert abs(fat["pipelined_fps"] - proxy["pipelined"]) < 1e-6
+
+
+def test_measure_engine_checked_retries_inversion(monkeypatch):
+    """pipelined<sync is impossible on an idle link (it burned the r4 driver
+    capture): the checked wrapper retries once and flags a persisting
+    inversion as contended."""
+    calls = []
+
+    def fake_measure(*a, **k):
+        calls.append(1)
+        # first call inverted, retry healthy
+        if len(calls) == 1:
+            return {"pipelined": 10.0, "sync_per_call": 12.0}
+        return {"pipelined": 20.0, "sync_per_call": 12.0}
+
+    monkeypatch.setattr(bench, "measure_engine", fake_measure)
+    r = bench.measure_engine_checked()
+    assert len(calls) == 2
+    assert r["pipelined"] == 20.0
+    assert r["retried_after_inversion"] and not r["inverted"]
+
+    calls.clear()
+
+    def always_inverted(*a, **k):
+        calls.append(1)
+        return {"pipelined": 10.0, "sync_per_call": 12.0}
+
+    monkeypatch.setattr(bench, "measure_engine", always_inverted)
+    r = bench.measure_engine_checked()
+    assert len(calls) == 2 and r["inverted"]

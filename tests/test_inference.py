@@ -348,6 +348,66 @@ def test_engine_pool_multi_device_parity(engine):
         assert any(k.startswith(("clip_sel", "clip")) for k in eng._jitted)
 
 
+def test_engine_pool_update_params_skips_identical(engine):
+    """update_params with the very object the pool already pinned is a no-op
+    (the trainer's first per-epoch eval used to repeat a multi-GB
+    host->device transfer per chip right after construction); a NEW params
+    object re-pins every engine."""
+    import jax.numpy as jnp
+
+    from neurips2023_soc_tpu.inference import EnginePool
+
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs >=2 devices (virtual CPU mesh)")
+    pool = EnginePool(
+        engine.model, engine.params, devices=devices[:2],
+        text_encoder_type="roberta-tiny", text_bucket=8,
+        time_buckets=(4,), size_buckets=((48, 64),),
+    )
+    sentinels = [eng.params for eng in pool.engines]
+    pool.update_params(engine.params)  # same object -> nothing re-pinned
+    for eng, s in zip(pool.engines, sentinels):
+        assert eng.params is s
+    fresh = jax.tree_util.tree_map(lambda x: x + 0, engine.params)
+    pool.update_params(fresh)  # new object -> every engine re-pinned
+    for eng, s, d in zip(pool.engines, sentinels, devices[:2]):
+        assert eng.params is not s
+        leaf = jax.tree_util.tree_leaves(eng.params)[0]
+        assert leaf.devices() == {d}
+    del jnp
+
+
+def test_engine_pool_sharded_params_fallback(engine, monkeypatch):
+    """Model-parallel (genuinely sharded) params have no per-device replica:
+    the pool degrades to ONE engine executing the global arrays instead of
+    raising mid-training (per-epoch YTVOS eval under a sharded run). The
+    sharded condition itself only arises multi-host, so it is simulated by
+    forcing _local_replica's no-replica signal."""
+    from neurips2023_soc_tpu.inference import EnginePool
+
+    monkeypatch.setattr(EnginePool, "_local_replica",
+                        staticmethod(lambda params: None))
+    pool = EnginePool(
+        engine.model, engine.params,
+        text_encoder_type="roberta-tiny", text_bucket=8,
+        time_buckets=(4,), size_buckets=((48, 64),),
+    )
+    assert len(pool.engines) == 1 and pool.devices == [None]
+    rs = np.random.RandomState(3)
+    v = rs.randn(4, 48, 64, 3).astype(np.float32)
+    (res,) = pool.engines[0].infer_video_multi(
+        frames=v, texts=["a thing"], original_size=(48, 64),
+        return_probs=True)
+    want = engine.infer_video(v, "a thing", original_size=(48, 64),
+                              return_probs=True)
+    np.testing.assert_allclose(res, want, rtol=1e-5, atol=1e-5)
+    # update_params keeps working in the degraded mode
+    fresh = jax.tree_util.tree_map(lambda x: x + 0, engine.params)
+    pool.update_params(fresh)
+    assert pool.engines[0].params is fresh
+
+
 def test_run_videos_pipelined_parity_and_order(engine):
     """run_videos_pipelined (the CLI/evaluator consumption loop): results
     come back in input order, match the sync path exactly, the item_fn

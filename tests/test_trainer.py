@@ -191,6 +191,32 @@ def test_load_weights_and_torch_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_load_weights_strict_rejects_unexpected_keys(tmp_path):
+    """strict=True mirrors the reference's load_state_dict(strict=True)
+    (main.py:28-43): a checkpoint with EXTRA keys must raise, not silently
+    evaluate with the extras ignored; strict=False loads and prints."""
+    import pytest
+    import torch
+
+    from neurips2023_soc_tpu.training.checkpoint import (
+        save_reference_checkpoint,
+    )
+
+    trainer, _ = make_trainer(tmp_path / "a", epochs=1)
+    first = next(iter(trainer.train_batches(0)))
+    trainer.init_state(first)
+    pth = str(tmp_path / "superset.pth.tar")
+    save_reference_checkpoint(trainer._state.params, pth, epoch=0)
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    ckpt["model_state_dict"]["not.a.real.key"] = torch.zeros(3)
+    torch.save(ckpt, pth)
+
+    trainer2, _ = make_trainer(tmp_path / "b", epochs=1)
+    with pytest.raises(ValueError, match="not.a.real.key"):
+        trainer2.load_weights(pth, sample_batch=first)
+    trainer2.load_weights(pth, sample_batch=first, strict=False)
+
+
 def test_load_params_from_checkpoints_root(tmp_path):
     """An infer CLI pointed at a CheckpointManager ROOT resolves to the best
     (else latest) epoch — the orbax analog of the zoo's best.pth.tar."""
