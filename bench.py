@@ -621,6 +621,22 @@ def main():
                     "s/step) — not a measurement")
         record["train"] = train
 
+    # attach the host input-pipeline measurement if one was captured
+    # (tools/bench_data_pipeline.py writes DATA_PIPELINE.json; it is a
+    # host-CPU number, measured once on an idle host rather than re-run
+    # here where it would contend with the engine timings)
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "DATA_PIPELINE.json")) as f:
+            dp = json.load(f)
+        record["data_pipeline"] = {
+            k: dp[k] for k in (
+                "host_s_per_batch", "device_step_s", "data_time_fraction",
+                "keeps_chips_busy", "global_bs", "workers", "cores_used",
+                "cores_needed_for_8_chips", "captured_at") if k in dp}
+    except Exception:
+        pass
+
     print(json.dumps(record))
 
 

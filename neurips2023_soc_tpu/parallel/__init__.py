@@ -5,6 +5,12 @@ from .mesh import (
     shard_batch,
     time_sharding,
 )
+from .zero import (
+    opt_state_bytes_per_device,
+    shard_opt_state,
+    zero1_constrain,
+    zero1_sharding_for,
+)
 from .multihost import (
     barrier,
     broadcast_object,

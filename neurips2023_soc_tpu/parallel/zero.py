@@ -1,0 +1,101 @@
+"""ZeRO-1 optimizer-state sharding over the data mesh.
+
+The reference holds a full AdamW state replica on every GPU (DDP wraps only
+the model, reference trainer.py:52-54; torch.optim.AdamW state is per-rank
+and identical on all ranks). On a TPU mesh the same replication wastes
+2x-params-f32 of HBM per chip. This module shards every optimizer-state
+array leaf (AdamW mu/nu) across the mesh's `data` axis instead — the ZeRO
+stage-1 layout — while parameters stay replicated, so the model-forward
+dataflow is untouched:
+
+  grads   (replicated, XLA's implicit psum — the DDP all-reduce)
+  mu/nu   (sharded: each chip updates its 1/N slice)
+  updates (sharded)  -> params += updates  (XLA all-gathers the updates)
+
+No collective is written by hand: the shardings below are declared on the
+state leaves (initial placement via `shard_opt_state`, steady-state via a
+`with_sharding_constraint` inside the jitted train step) and XLA's SPMD
+partitioner inserts the dynamic-slice / all-gather pair. Leaves with no
+axis divisible by the mesh size (tiny biases, scalar schedule counts,
+norm scales) stay replicated — they are a negligible byte fraction.
+
+Enable with `optimizer_sharding: zero1` in the training config (trainer.py)
+or `make_train_step(..., zero1_mesh=mesh)` directly. Parity with the
+replicated layout is exact up to float reassociation
+(tests/test_zero1.py); `dryrun_multichip` executes a ZeRO-1 step on the
+8-virtual-device mesh every round.
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _is_array(x) -> bool:
+    return hasattr(x, "shape") and hasattr(x, "dtype")
+
+
+def zero1_sharding_for(shape, mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for one optimizer-state leaf: the first dimension divisible
+    by the mesh's `axis` size is sharded, everything else replicated."""
+    n = int(mesh.shape[axis])
+    for i, d in enumerate(shape):
+        if d >= n and d % n == 0:
+            spec = [None] * len(shape)
+            spec[i] = axis
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def zero1_constrain(opt_state, mesh: Mesh, axis: str = "data"):
+    """Inside jit: pin every array leaf of `opt_state` to its ZeRO-1
+    sharding so XLA keeps the state distributed across steps instead of
+    all-gathering it to match the replicated inputs."""
+
+    def pin(x):
+        if not _is_array(x):
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, zero1_sharding_for(x.shape, mesh, axis))
+
+    return jax.tree_util.tree_map(pin, opt_state)
+
+
+def replicate_constrain(tree, mesh: Mesh):
+    """Inside jit: pin every array leaf to the replicated layout. Used on
+    the ZeRO-1 step's output params — without it, GSPMD propagation is free
+    to leave params sharded the way the (sharded) updates arrived, which
+    would silently change the next forward's layout."""
+    repl = NamedSharding(mesh, P())
+
+    def pin(x):
+        if not _is_array(x):
+            return x
+        return jax.lax.with_sharding_constraint(x, repl)
+
+    return jax.tree_util.tree_map(pin, tree)
+
+
+def shard_opt_state(state, mesh: Mesh, axis: str = "data"):
+    """Place an existing TrainState's optimizer state in the ZeRO-1 layout
+    (initial placement; freshly-created and checkpoint-restored states are
+    replicated). Returns the state with opt_state re-device_put."""
+
+    def put(x):
+        if not _is_array(x):
+            return x
+        return jax.device_put(x, zero1_sharding_for(x.shape, mesh, axis))
+
+    return state.replace(opt_state=jax.tree_util.tree_map(put, state.opt_state))
+
+
+def opt_state_bytes_per_device(opt_state) -> int:
+    """Sum of per-device addressable bytes across array leaves — the
+    measurable HBM win (1/N of the replicated total for sharded leaves)."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(opt_state):
+        if _is_array(leaf) and hasattr(leaf, "addressable_shards"):
+            shards = leaf.addressable_shards
+            if shards:
+                total += shards[0].data.nbytes
+    return total

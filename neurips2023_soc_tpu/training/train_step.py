@@ -27,11 +27,18 @@ class TrainState(train_state.TrainState):
 
 
 def make_train_step(model, crit_cfg: CriterionConfig,
-                    has_valid_indices: bool = False, donate: bool = True):
+                    has_valid_indices: bool = False, donate: bool = True,
+                    zero1_mesh=None):
     """Returns a jitted train_step(state, batch, rng) -> (state, metrics).
 
     Host-side metadata entries in the collated batch (strings, tuples) are
-    stripped before the jit boundary; the state argument is donated."""
+    stripped before the jit boundary; the state argument is donated.
+
+    zero1_mesh: when given, the new optimizer state is pinned to the ZeRO-1
+    layout (AdamW mu/nu sharded over the mesh's 'data' axis,
+    parallel/zero.py) so each chip holds 1/N of it; pair with
+    `shard_opt_state` on the initial/restored state so the donated input
+    and output layouts match."""
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng):
         def loss_fn(params):
@@ -54,6 +61,12 @@ def make_train_step(model, crit_cfg: CriterionConfig,
             state.params
         )
         new_state = state.apply_gradients(grads=grads)
+        if zero1_mesh is not None:
+            from ..parallel.zero import replicate_constrain, zero1_constrain
+
+            new_state = new_state.replace(
+                params=replicate_constrain(new_state.params, zero1_mesh),
+                opt_state=zero1_constrain(new_state.opt_state, zero1_mesh))
         metrics = {"loss": loss, **losses}
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

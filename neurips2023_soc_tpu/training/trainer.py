@@ -26,7 +26,7 @@ import numpy as np
 
 from ..losses import build_criterion_config
 from ..models import build_model
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh, shard_batch, shard_opt_state
 from .checkpoint import CheckpointManager, load_pretrained_into_params
 from .optim import build_optimizer
 from .train_step import TrainState, make_forward_fn, make_train_step
@@ -137,9 +137,17 @@ class Trainer:
             freeze_text=bool(self.config.freeze_text_encoder),
         )
         self._state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+        # optimizer_sharding: 'zero1' shards the AdamW mu/nu over the data
+        # mesh (parallel/zero.py) — 1/N of the state per chip vs the
+        # reference's full per-rank torch.optim replica (trainer.py:91-99)
+        zero1 = str(self.config.get("optimizer_sharding",
+                                    "replicated")).lower() == "zero1"
+        if zero1:
+            self._state = shard_opt_state(self._state, self.mesh)
         has_valid = self.dataset_name in ("a2d_sentences", "jhmdb_sentences")
         self._train_step = make_train_step(
-            model, self.crit_cfg, has_valid_indices=has_valid
+            model, self.crit_cfg, has_valid_indices=has_valid,
+            zero1_mesh=self.mesh if zero1 else None,
         )
         self._forward = make_forward_fn(model)
 
@@ -361,6 +369,11 @@ class Trainer:
             params=restored["params"], opt_state=restored["opt_state"],
             step=int(restored["step"]),
         )
+        if str(self.config.get("optimizer_sharding",
+                               "replicated")).lower() == "zero1":
+            # orbax restores replicated; re-place in the ZeRO-1 layout so the
+            # donated input matches the train step's constrained output
+            self._state = shard_opt_state(self._state, self.mesh)
         self.epoch = epoch + 1
         meta = source.read_meta(epoch)
         if meta:  # resume best tracking (reference trainer.py:363-378)
