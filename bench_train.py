@@ -1,6 +1,11 @@
 """Training-step benchmark: YTVOS finetune shape (T=8, B=1/chip, 360x640,
 bf16 compute, f32 params) on one chip. Prints one JSON line. Same trusted
-protocol as bench.py (fresh inputs + forced scalar fetch per step)."""
+protocol as bench.py (fresh inputs + forced scalar fetch per step).
+
+Env knobs: BENCH_BACKBONE (video-swin-t|video-swin-b), BENCH_MSDA,
+BENCH_B (per-chip batch; reports per-sample time so layouts compare),
+BENCH_REMAT=1 (nn.remat through swin blocks — trades FLOPs for HBM, the
+lever that makes larger per-chip batches fit), BENCH_ITERS."""
 import json
 import os
 import time
@@ -17,13 +22,14 @@ def main():
     from neurips2023_soc_tpu.training.optim import build_optimizer
     from neurips2023_soc_tpu.training.train_step import TrainState, make_train_step
 
-    T, B, H, W, S = 8, 1, 360, 640, 16
+    T, B, H, W, S = 8, int(os.environ.get("BENCH_B", 1)), 360, 640, 16
     model = SOC(
         backbone_name=os.environ.get("BENCH_BACKBONE", "video-swin-t"),
         d_model=256, num_queries=20, dim_feedforward=2048,
         enc_layers=3, dec_layers=3, voc_enc_layers=3, voc_dec_layers=3,
         text_encoder_type="roberta-base", dtype=jnp.bfloat16,
         msda_impl=os.environ.get("BENCH_MSDA", "auto"),
+        use_remat=os.environ.get("BENCH_REMAT", "") == "1",
     )
     rng = np.random.RandomState(0)
     batch = {
@@ -74,7 +80,10 @@ def main():
     print(json.dumps({
         "metric": "ytvos_train_step_time_swin_t_8f_360x640_bf16",
         "value": round(dt, 4),
-        "unit": "sec/step (bs=1/chip)",
+        "unit": f"sec/step (bs={B}/chip)",
+        "per_sample_s": round(dt / B, 4),
+        "samples_per_s": round(B / dt, 3),
+        "remat": os.environ.get("BENCH_REMAT", "") == "1",
         "vs_baseline": None,
     }))
 
