@@ -77,16 +77,24 @@ def replicate_constrain(tree, mesh: Mesh):
 
 
 def shard_opt_state(state, mesh: Mesh, axis: str = "data"):
-    """Place an existing TrainState's optimizer state in the ZeRO-1 layout
-    (initial placement; freshly-created and checkpoint-restored states are
-    replicated). Returns the state with opt_state re-device_put."""
+    """Place an existing TrainState in the ZeRO-1 layout: opt_state sharded,
+    params replicated over the mesh (initial placement; freshly-created
+    states are already replicated, but orbax-restored arrays can come back
+    committed to a single device — re-pinning params too keeps every state
+    leaf on the same device set, which the jitted step requires)."""
+    repl = NamedSharding(mesh, P())
 
-    def put(x):
+    def put_opt(x):
         if not _is_array(x):
             return x
         return jax.device_put(x, zero1_sharding_for(x.shape, mesh, axis))
 
-    return state.replace(opt_state=jax.tree_util.tree_map(put, state.opt_state))
+    def put_repl(x):
+        return jax.device_put(x, repl) if _is_array(x) else x
+
+    return state.replace(
+        params=jax.tree_util.tree_map(put_repl, state.params),
+        opt_state=jax.tree_util.tree_map(put_opt, state.opt_state))
 
 
 def opt_state_bytes_per_device(opt_state) -> int:

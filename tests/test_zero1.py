@@ -143,6 +143,51 @@ def test_zero1_sharding_for_picks_divisible_axis(setup):
     assert tuple(zero1_sharding_for((), mesh).spec) == ()
 
 
+def test_trainer_resume_replaces_zero1_layout(tmp_path):
+    """Orbax restores the optimizer state replicated; a zero1 trainer must
+    re-place it in the sharded layout before the donated train step runs
+    (trainer.load_checkpoint), and training must continue from it."""
+    from neurips2023_soc_tpu.config import load_config
+    from neurips2023_soc_tpu.data.collate import collate_batch
+    from neurips2023_soc_tpu.training.trainer import Trainer
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+
+    def make(epochs):
+        cfg = load_config("configs/tiny_synthetic.yaml", overrides={
+            "epochs": epochs, "output_dir": str(tmp_path), "batch_size": 2,
+            "num_samples": 4, "optimizer_sharding": "zero1",
+        })
+        ds = SyntheticRVOSDataset(num_samples=4, num_frames=2,
+                                  frame_size=(48, 64))
+        tok = build_tokenizer("roberta-tiny", text_bucket=12)
+
+        def train_batches(epoch):
+            for start in range(0, len(ds), 2):
+                yield collate_batch([ds[start], ds[start + 1]], tok,
+                                    size_buckets=SIZE, time_buckets=TIME)
+
+        return Trainer(cfg, train_batches, steps_per_epoch=2)
+
+    t1 = make(epochs=1)
+    t1.train()
+
+    t2 = make(epochs=2)
+    first = next(iter(t2.train_batches(0)))
+    t2.load_checkpoint(sample_batch=first)
+    assert t2.epoch == 1
+    n = int(t2.mesh.shape["data"])
+    sharded = [l for l in jax.tree_util.tree_leaves(t2._state.opt_state)
+               if hasattr(l, "sharding")
+               and getattr(l.sharding, "spec", None)
+               and "data" in tuple(l.sharding.spec)]
+    assert sharded, "restored opt_state not re-placed in the ZeRO-1 layout"
+    assert sharded[0].addressable_shards[0].data.size * n == sharded[0].size
+    t2.train()  # the donated zero1 step consumes the restored state
+    assert int(t2._state.step) == 4
+
+
 def test_trainer_wires_zero1(tmp_path):
     """`optimizer_sharding: zero1` in the YAML config reaches the train
     state: after one trainer epoch the AdamW state lives sharded."""
