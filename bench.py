@@ -302,6 +302,11 @@ def measure_engine(model, params, T: int, n_videos: int,
                 yield dict(frames=base + np.float32(seed0 + i),
                            texts=texts, original_size=(H, W))
 
+    # BENCH_PIPELINE_DEPTH: videos dispatched ahead of the oldest pending
+    # fetch. 1 is the CLI default; deeper keeps more uploads queued on the
+    # transfer stream, smoothing bandwidth troughs on a contended link at
+    # the cost of one more video's device-resident logits per extra step
+    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", 1))
     # compile + two perturbed warm videos (first post-compile execution can
     # be 3-5x slow on the tunneled runtime)
     for _ in engine.infer_videos(make_items(10_000, 2), depth=1):
@@ -321,12 +326,13 @@ def measure_engine(model, params, T: int, n_videos: int,
     seq = 30_000
     for _ in range(3):
         t0 = time.perf_counter()
-        for res in engine.infer_videos(make_items(seq, n_videos), depth=1):
+        for res in engine.infer_videos(make_items(seq, n_videos), depth=depth):
             assert res[0].dtype == np.uint8
         rounds.append((time.perf_counter() - t0) / n_videos)
         seq += n_videos
     pipe_fps = T * expressions / float(np.median(rounds))
     return {"pipelined": pipe_fps, "sync_per_call": sync_fps,
+            "pipeline_depth": depth,
             # per-round fps: a >30% spread means the link/host moved
             # mid-measurement (contention signal for the JSON record)
             "pipelined_rounds_fps": [round(T * expressions / r, 3)
