@@ -60,7 +60,17 @@ def build_optimizer(
     milestones_steps: Sequence[int] = (),
     gamma: float = 0.1,
     freeze_text: bool = True,
+    grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """grad_accum_steps > 1 accumulates (means) that many micro-batch
+    gradients before one clipped AdamW update (optax.MultiSteps) — how a
+    small mesh reproduces the reference's 8-GPU global batch of 8
+    (reference README.md:167-172) without 8 chips. The clip-by-global-norm
+    applies to the averaged gradient at the update, exactly where the
+    reference clips its full-batch DDP gradient (trainer.py:193-197).
+    `milestones_steps` are in OPTIMIZER-UPDATE units: when accumulating,
+    the caller divides micro-step milestones by grad_accum_steps
+    (training/trainer.py does)."""
     def adamw(base):
         return optax.adamw(
             multistep_schedule(base, milestones_steps, gamma),
@@ -78,5 +88,10 @@ def build_optimizer(
         labels,
     )
     if clip_max_norm and clip_max_norm > 0:
-        return optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+        tx = optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+    if int(grad_accum_steps) > 1:
+        # non-final micro-steps emit zero updates (params untouched); the
+        # accumulator is a params-shaped pytree that ZeRO-1 shards like any
+        # other optimizer-state leaf (parallel/zero.py tree_maps all leaves)
+        tx = optax.MultiSteps(tx, every_k_schedule=int(grad_accum_steps))
     return tx

@@ -125,6 +125,12 @@ class Trainer:
             )
             print(f"loaded pretrained weights: {len(report['missing'])} missing, "
                   f"{len(report['unused'])} unused")
+        # grad_accum_steps: micro-batches averaged per optimizer update —
+        # effective global batch = batch_size * grad_accum_steps (how fewer
+        # chips reproduce the reference's 8-GPU bs=8 finetune shape).
+        # lr milestones are epoch-derived micro-step counts; the inner
+        # schedule ticks once per UPDATE, so divide by the accum factor.
+        accum = int(self.config.get("grad_accum_steps", 1) or 1)
         tx = build_optimizer(
             params,
             lr=float(self.config.lr),
@@ -132,9 +138,10 @@ class Trainer:
             text_encoder_lr=float(self.config.text_encoder_lr),
             weight_decay=float(self.config.weight_decay),
             clip_max_norm=float(self.config.clip_max_norm),
-            milestones_steps=self.milestones_steps,
+            milestones_steps=[m // accum for m in self.milestones_steps],
             gamma=self.gamma,
             freeze_text=bool(self.config.freeze_text_encoder),
+            grad_accum_steps=accum,
         )
         self._state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
         # optimizer_sharding: 'zero1' shards the AdamW mu/nu over the data

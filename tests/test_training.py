@@ -142,3 +142,65 @@ def test_vla_fusion_params_in_main_group(setup):
     assert seen["vlf"] == {"main"} and seen["lvf"] == {"main"}
     assert seen["backbone"] <= {"backbone", "frozen"} and seen["backbone"]
     assert seen["text"] == {"frozen"}  # freeze_text=True
+
+
+def test_grad_accumulation_semantics(setup):
+    """grad_accum_steps=k (optax.MultiSteps in build_optimizer): non-final
+    micro-steps leave params untouched; k identical micro-batches produce
+    the same update as one k=1 step on that batch (incremental mean of
+    identical gradients is exact). This is how a small mesh reproduces the
+    reference's 8-GPU global batch (reference README.md:167-172)."""
+    model, state0, _, batches = setup
+    batch = batches[0]
+    params = state0.params
+    kw = dict(lr=1e-3, lr_backbone=1e-4, text_encoder_lr=5e-6,
+              clip_max_norm=0.1, freeze_text=True)
+    s1 = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=build_optimizer(params, **kw))
+    s2 = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=build_optimizer(params, **kw, grad_accum_steps=2))
+    step = make_train_step(model, CriterionConfig(), donate=False)
+    rng = jax.random.PRNGKey(7)
+
+    s1, _ = step(s1, batch, rng)
+
+    s2, _ = step(s2, batch, rng)  # micro-step 1: accumulate only
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    s2, _ = step(s2, batch, rng)  # micro-step 2: the update fires
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_grad_accumulation_lr_schedule_counts_updates(setup):
+    """The MultiStepLR milestones tick on optimizer UPDATES, not
+    micro-steps: with k=2 and a milestone at update 1, the lr drop must
+    land after 2 micro-steps, matching trainer.py's milestone // accum
+    conversion."""
+    import optax
+
+    model, state0, _, batches = setup
+    params = state0.params
+    tx = build_optimizer(
+        params, lr=1e-3, lr_backbone=1e-4, text_encoder_lr=5e-6,
+        clip_max_norm=0.0, freeze_text=True, milestones_steps=(1,),
+        gamma=0.1, grad_accum_steps=2)
+    opt_state = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    deltas = []
+    p = params
+    for i in range(4):  # 4 micro-steps = 2 updates
+        updates, opt_state = tx.update(g, opt_state, p)
+        norm = float(optax.global_norm(updates))
+        deltas.append(norm)
+        p = optax.apply_updates(p, updates)
+    # micro-steps 1 and 3 emit zero updates; update 2's step norm reflects
+    # the post-milestone lr (0.1x), i.e. far smaller than update 1's
+    assert deltas[0] == 0.0 and deltas[2] == 0.0
+    assert deltas[3] < 0.5 * deltas[1], deltas
