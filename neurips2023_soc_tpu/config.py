@@ -115,6 +115,11 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--version", default=None)
+    parser.add_argument(
+        "--grad_accum_steps", type=int, default=None,
+        help="micro-batches averaged per optimizer update (effective global "
+             "batch = batch_size * grad_accum_steps); how fewer chips "
+             "reproduce the reference's 8-GPU global batch")
     return parser
 
 

@@ -64,3 +64,20 @@ def test_reference_parity_keys_present():
     assert a2d.get("calculate_precision_and_iou_metrics") is True
     assert "dataset_coco_gt_format_path" in a2d
     assert a2d.get("generate_new_samples_metadata") is False
+
+
+def test_grad_accum_cli_flag(tmp_path):
+    """--grad_accum_steps rides the shared argparse surface into the config
+    (trainer reads config.grad_accum_steps; default absent -> 1)."""
+    import argparse
+
+    from neurips2023_soc_tpu.config import add_config_args, config_from_args
+
+    parser = add_config_args(argparse.ArgumentParser())
+    args = parser.parse_args(
+        ["-c", str(CONFIGS[0]), "--grad_accum_steps", "4"])
+    cfg = config_from_args(args)
+    assert int(cfg.grad_accum_steps) == 4
+    args = parser.parse_args(["-c", str(CONFIGS[0])])
+    cfg = config_from_args(args)
+    assert int(cfg.get("grad_accum_steps", 1) or 1) == 1
