@@ -216,3 +216,41 @@ def test_trainer_wires_zero1(tmp_path):
              if hasattr(l, "sharding")
              and getattr(l.sharding, "spec", None) is not None]
     assert any("data" in s for s in specs)
+
+
+def test_zero1_composes_with_grad_accum(setup):
+    """grad_accum_steps=2 under the ZeRO-1 layout: the MultiSteps
+    accumulator is a params-shaped opt-state pytree and gets sharded like
+    mu/nu; non-final micro-steps leave params untouched; the second
+    micro-step fires a finite update and params stay replicated."""
+    mesh, model, params, _, batch = setup
+    params = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    tx = build_optimizer(
+        params, lr=1e-3, lr_backbone=1e-4, text_encoder_lr=5e-5,
+        clip_max_norm=0.1, freeze_text=True, grad_accum_steps=2,
+    )
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    state = shard_opt_state(state, mesh)
+    step = make_train_step(model, CriterionConfig(), donate=False,
+                           zero1_mesh=mesh)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(state.params)))
+    assert moved
+    # accumulator + mu/nu leaves live sharded; params replicated
+    sharded = 0
+    for leaf in jax.tree_util.tree_leaves(state.opt_state):
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+        if spec is not None and "data" in tuple(spec):
+            sharded += 1
+    assert sharded > 20, sharded  # mu/nu AND acc_grads
+    assert jax.tree_util.tree_leaves(state.params)[0].sharding.is_fully_replicated
