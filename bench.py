@@ -632,16 +632,19 @@ def main():
     # host-CPU number, measured once on an idle host rather than re-run
     # here where it would contend with the engine timings)
     try:
-        with open(os.path.join(os.path.dirname(__file__),
-                               "DATA_PIPELINE.json")) as f:
+        dp_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "DATA_PIPELINE.json")
+        with open(dp_path) as f:
             dp = json.load(f)
         record["data_pipeline"] = {
             k: dp[k] for k in (
                 "host_s_per_batch", "device_step_s", "data_time_fraction",
                 "keeps_chips_busy", "global_bs", "workers", "cores_used",
                 "cores_needed_for_8_chips", "captured_at") if k in dp}
-    except Exception:
-        pass
+    except FileNotFoundError:
+        pass  # optional: no capture on this machine
+    except Exception as e:  # corrupt file should be visible, not silent
+        record["data_pipeline_error"] = str(e)
 
     print(json.dumps(record))
 

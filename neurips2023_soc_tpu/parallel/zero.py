@@ -30,6 +30,8 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .mesh import replicated
+
 
 def _is_array(x) -> bool:
     return hasattr(x, "shape") and hasattr(x, "dtype")
@@ -66,7 +68,7 @@ def replicate_constrain(tree, mesh: Mesh):
     the ZeRO-1 step's output params — without it, GSPMD propagation is free
     to leave params sharded the way the (sharded) updates arrived, which
     would silently change the next forward's layout."""
-    repl = NamedSharding(mesh, P())
+    repl = replicated(mesh)
 
     def pin(x):
         if not _is_array(x):
@@ -82,7 +84,7 @@ def shard_opt_state(state, mesh: Mesh, axis: str = "data"):
     states are already replicated, but orbax-restored arrays can come back
     committed to a single device — re-pinning params too keeps every state
     leaf on the same device set, which the jitted step requires)."""
-    repl = NamedSharding(mesh, P())
+    repl = replicated(mesh)
 
     def put_opt(x):
         if not _is_array(x):

@@ -41,6 +41,24 @@ def _label_tree(params, freeze_text: bool):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def update_milestones_from_microsteps(
+        milestones_steps: Sequence[int], grad_accum_steps: int) -> list:
+    """Convert micro-step lr milestones to optimizer-update units.
+
+    Floor division by the accum factor can collide two distinct milestones
+    onto one update count (losing a gamma drop in the schedule dict) or
+    floor to 0 (dropping the lr from the very first update); keep every
+    drop by clamping to >=1 and forcing strict increase."""
+    k = max(1, int(grad_accum_steps))
+    out: list = []
+    for m in milestones_steps:
+        u = max(1, int(m) // k)
+        if out and u <= out[-1]:
+            u = out[-1] + 1
+        out.append(u)
+    return out
+
+
 def multistep_schedule(base_lr: float, milestones_steps: Sequence[int],
                        gamma: float) -> optax.Schedule:
     if not milestones_steps:
@@ -66,11 +84,22 @@ def build_optimizer(
     gradients before one clipped AdamW update (optax.MultiSteps) — how a
     small mesh reproduces the reference's 8-GPU global batch of 8
     (reference README.md:167-172) without 8 chips. The clip-by-global-norm
-    applies to the averaged gradient at the update, exactly where the
-    reference clips its full-batch DDP gradient (trainer.py:193-197).
+    applies to the averaged gradient at the update, where the reference
+    clips its full-batch DDP gradient (trainer.py:193-197).
+
+    Semantics note (standard grad-accumulation approximation): each
+    micro-batch's loss is normalized by its OWN num_masks (the per-step
+    global sum under pjit, losses/criterion.py), then gradients are
+    averaged — whereas one big DDP step divides by the single all-reduced
+    num_masks. The two coincide when micro-batches carry equal
+    visible-instance counts and differ (low-count micro-batches up-weighted)
+    when they don't; this matches how grad accumulation is conventionally
+    defined everywhere, but it is an approximation of the reference's
+    one-step normalization, not an exact reproduction.
+
     `milestones_steps` are in OPTIMIZER-UPDATE units: when accumulating,
-    the caller divides micro-step milestones by grad_accum_steps
-    (training/trainer.py does)."""
+    the caller converts micro-step milestones (training/trainer.py divides
+    by grad_accum_steps, keeping the drops strictly increasing)."""
     def adamw(base):
         return optax.adamw(
             multistep_schedule(base, milestones_steps, gamma),

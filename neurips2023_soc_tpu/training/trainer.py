@@ -28,7 +28,7 @@ from ..losses import build_criterion_config
 from ..models import build_model
 from ..parallel import make_mesh, shard_batch, shard_opt_state
 from .checkpoint import CheckpointManager, load_pretrained_into_params
-from .optim import build_optimizer
+from .optim import build_optimizer, update_milestones_from_microsteps
 from .train_step import TrainState, make_forward_fn, make_train_step
 
 
@@ -93,6 +93,10 @@ class Trainer:
         milestones = config.get("lr_drop", []) or []
         self.milestones_steps = [int(m) * steps_per_epoch for m in milestones]
         self.gamma = gamma
+        # parsed once; init_state (optimizer layout) and load_checkpoint
+        # (re-placement after orbax restore) must always agree on it
+        self._zero1 = str(config.get("optimizer_sharding",
+                                     "replicated")).lower() == "zero1"
         self._state = None
         self._train_step = None
         self._forward = None
@@ -129,8 +133,11 @@ class Trainer:
         # effective global batch = batch_size * grad_accum_steps (how fewer
         # chips reproduce the reference's 8-GPU bs=8 finetune shape).
         # lr milestones are epoch-derived micro-step counts; the inner
-        # schedule ticks once per UPDATE, so divide by the accum factor.
+        # schedule ticks once per UPDATE (collision-safe conversion keeps
+        # every gamma drop — optim.update_milestones_from_microsteps)
         accum = int(self.config.get("grad_accum_steps", 1) or 1)
+        update_milestones = update_milestones_from_microsteps(
+            self.milestones_steps, accum)
         tx = build_optimizer(
             params,
             lr=float(self.config.lr),
@@ -138,7 +145,7 @@ class Trainer:
             text_encoder_lr=float(self.config.text_encoder_lr),
             weight_decay=float(self.config.weight_decay),
             clip_max_norm=float(self.config.clip_max_norm),
-            milestones_steps=[m // accum for m in self.milestones_steps],
+            milestones_steps=update_milestones,
             gamma=self.gamma,
             freeze_text=bool(self.config.freeze_text_encoder),
             grad_accum_steps=accum,
@@ -147,14 +154,12 @@ class Trainer:
         # optimizer_sharding: 'zero1' shards the AdamW mu/nu over the data
         # mesh (parallel/zero.py) — 1/N of the state per chip vs the
         # reference's full per-rank torch.optim replica (trainer.py:91-99)
-        zero1 = str(self.config.get("optimizer_sharding",
-                                    "replicated")).lower() == "zero1"
-        if zero1:
+        if self._zero1:
             self._state = shard_opt_state(self._state, self.mesh)
         has_valid = self.dataset_name in ("a2d_sentences", "jhmdb_sentences")
         self._train_step = make_train_step(
             model, self.crit_cfg, has_valid_indices=has_valid,
-            zero1_mesh=self.mesh if zero1 else None,
+            zero1_mesh=self.mesh if self._zero1 else None,
         )
         self._forward = make_forward_fn(model)
 
@@ -376,8 +381,7 @@ class Trainer:
             params=restored["params"], opt_state=restored["opt_state"],
             step=int(restored["step"]),
         )
-        if str(self.config.get("optimizer_sharding",
-                               "replicated")).lower() == "zero1":
+        if self._zero1:
             # orbax restores replicated; re-place in the ZeRO-1 layout so the
             # donated input matches the train step's constrained output
             self._state = shard_opt_state(self._state, self.mesh)

@@ -204,3 +204,19 @@ def test_grad_accumulation_lr_schedule_counts_updates(setup):
     # the post-milestone lr (0.1x), i.e. far smaller than update 1's
     assert deltas[0] == 0.0 and deltas[2] == 0.0
     assert deltas[3] < 0.5 * deltas[1], deltas
+
+
+def test_update_milestone_conversion_collision_safe():
+    """Micro-step -> update-unit milestone conversion keeps every gamma
+    drop: floor-division collisions bump to the next update, and a
+    milestone inside the first accumulation window clamps to update 1."""
+    from neurips2023_soc_tpu.training.optim import (
+        update_milestones_from_microsteps,
+    )
+
+    assert update_milestones_from_microsteps([60, 80], 1) == [60, 80]
+    assert update_milestones_from_microsteps([60, 80], 8) == [7, 10]
+    # collision: 6//4 == 7//4 == 1 -> second drop moves to update 2
+    assert update_milestones_from_microsteps([6, 7], 4) == [1, 2]
+    # floor-to-zero clamps to 1 (never drops lr before the first update)
+    assert update_milestones_from_microsteps([3, 6], 8) == [1, 2]

@@ -91,6 +91,11 @@ def parse_trace(log_dir: str):
 
 
 STAGES = (
+    # NOTE: XLA names Pallas calls "custom-call.N" (no 'msda' substring), so
+    # every custom-call is attributed here. Valid for THIS clip program,
+    # whose only custom-calls are the 3 encoder Pallas msda kernels — if a
+    # profiled graph gains other custom-calls (sort/top-k, host callbacks),
+    # split this bucket before trusting the msda share.
     ("pallas_msda", lambda n: "msda" in n or "custom-call" in n),
     ("while_loops", lambda n: n.startswith("while")),
     ("conv", lambda n: "convolution" in n),
