@@ -80,6 +80,47 @@ def test_engine_roofline_math():
     assert abs(fat["pipelined_fps"] - proxy["pipelined"]) < 1e-6
 
 
+def test_measure_engine_collects_inrun_probes(tiny, monkeypatch):
+    """In-run calibration (r5): measure_engine probes the link between its
+    own timed phases — after the sync loop and after each of the 3 pipelined
+    rounds — so the roofline can divide by the link that existed DURING the
+    run. Probes must never land inside a timed phase (fps would drop)."""
+    model, params = tiny
+    readings = iter([21.0, 19.5, 18.0, 17.5, 99.0])
+
+    def fake_probe(mb=4, repeats=1):
+        return {"upload_mb_s": next(readings), "rtt_ms": 50.0,
+                "upload_mb_s_spread": [1.0, 1.0]}
+
+    monkeypatch.setattr(bench, "probe_link", fake_probe)
+    r = bench.measure_engine(model, params, T=4, n_videos=3, H=48, W=64,
+                             text_encoder_type="roberta-tiny", text_bucket=8)
+    assert r["inrun_link_mb_s"] == [21.0, 19.5, 18.0, 17.5]
+
+    monkeypatch.setenv("BENCH_INRUN_PROBES", "0")
+    r = bench.measure_engine(model, params, T=4, n_videos=3, H=48, W=64,
+                             text_encoder_type="roberta-tiny", text_bucket=8)
+    assert "inrun_link_mb_s" not in r
+
+
+def test_inrun_roofline_is_contention_immune():
+    """The vs_roofline_inrun construction: a link that halves between the
+    pre/post probes and the run keeps the in-run quality ratio at ~1 for a
+    perfect engine, while vs_roofline (against the best probe) collapses —
+    exactly the r5 contended-capture failure mode, now self-explaining."""
+    proxy = {"pipelined": 81.5, "sync_per_call": 71.0}
+    best = {"upload_mb_s": 23.0}
+    inrun_bw = 11.5  # the link the engine actually got
+    roof_best = bench.engine_roofline("uint8", 16, 360, 640, best, proxy)
+    roof_in = bench.engine_roofline("uint8", 16, 360, 640,
+                                    {"upload_mb_s": inrun_bw}, proxy)
+    engine_fps = roof_in["pipelined_fps"]  # a perfect engine on that link
+    assert engine_fps / roof_best["pipelined_fps"] < 0.55  # reads as broken
+    assert abs(engine_fps / roof_in["pipelined_fps"] - 1.0) < 1e-9
+    # and the divergence itself is the contention signal main() flags
+    assert inrun_bw < 0.7 * best["upload_mb_s"]
+
+
 def test_measure_engine_checked_retries_inversion(monkeypatch):
     """pipelined<sync is impossible on an idle link (it burned the r4 driver
     capture): the checked wrapper retries once and flags a persisting
